@@ -1,0 +1,27 @@
+"""accumulation_tpu: a TPU-native accumulation-schemes framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+`arkworks-rs/accumulation` (mounted read-only at /root/reference): accumulation
+schemes for Hadamard products, IPA-PC openings, trivial-PC openings and an
+R1CS NARK, plus the algebra/commitment/transcript stack they sit on.
+"""
+
+__version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the limb-tensor kernels produce sizeable
+# HLO per unique shape; caching compiles across processes keeps test/bench
+# startup fast on both the CPU and the (remote-compiled) TPU backend.
+_cache_dir = _os.environ.get(
+    "ACCUMULATION_TPU_XLA_CACHE",
+    _os.path.expanduser("~/.cache/accumulation_tpu_xla"),
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+except Exception:  # pragma: no cover - older jax without these flags
+    pass

@@ -1,0 +1,8 @@
+from . import weierstrass
+from .weierstrass import Affine, Jacobian, CurveSpec, make_curve
+from ..fields.pasta import FQ, FR
+
+# The Pallas curve of the Pasta cycle: y^2 = x^3 + 5 over FQ, generator (-1, 2)
+# (the instantiation used throughout the reference tests/examples, e.g.
+# /root/reference/src/hp_as/mod.rs:1047-1050).
+PALLAS = make_curve("pallas", FQ, FR, 5, -1, 2)

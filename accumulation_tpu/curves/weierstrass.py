@@ -4,15 +4,14 @@ TPU-native replacement for the `ark-ec` surface the reference consumes
 (AffineCurve/ProjectiveCurve ops, `batch_normalization_into_affine`,
 `G::mul`; e.g. reference src/hp_as/mod.rs:396-406,468-472).
 
-Points are pytrees of limb tensors (see fields.fp): an affine point is
-``(x, y, inf)`` with ``x, y: (..., NLIMBS) uint32`` Montgomery-form and
-``inf: (...) bool``; a Jacobian point is ``(x, y, z)`` with the convention
-``z == 0  <=>  infinity``.  All group ops are branchless: special cases
-(infinity / equal-x doubling / inverses) are resolved with `jnp.where`
-selects so the same traced program covers every input — the idiomatic way to
-keep XLA shapes static and the VPU busy.
-
-Formulas: dbl-2009-l and add-2007-bl / madd-2007-bl (a = 0 curves).
+Points are pytrees of limb tensors (see fields.fp).  Internal arithmetic uses
+homogeneous projective coordinates with the *complete* addition formulas of
+Renes-Costello-Batina 2015 (algorithms 7-9, a = 0): a single branch-free
+code path covers doubling, inverses and the identity (0 : 1 : 0), which is
+exactly what a TPU wants — no `where` cascades, no data-dependent control
+flow, and roughly half the field-multiplications of a guarded Jacobian
+implementation.  An affine point carries an explicit `inf` flag (used only at
+the API boundary and for mixed addition's one select).
 """
 
 from __future__ import annotations
@@ -35,10 +34,14 @@ class Affine(NamedTuple):
     inf: jnp.ndarray  # (...) bool
 
 
-class Jacobian(NamedTuple):
+class Projective(NamedTuple):
     x: jnp.ndarray
     y: jnp.ndarray
-    z: jnp.ndarray  # z == 0 <=> infinity
+    z: jnp.ndarray  # (0 : 1 : 0) is the identity
+
+
+# Backwards-compatible alias (the API is coordinate-system agnostic).
+Jacobian = Projective
 
 
 @dataclass(frozen=True, eq=False)
@@ -52,13 +55,17 @@ class CurveSpec:
     gen_x: int
     gen_y: int
     b_mont: np.ndarray = field(default=None, repr=False)
+    b3_mont: np.ndarray = field(default=None, repr=False)  # 3*b
 
 
 @functools.lru_cache(maxsize=None)
 def make_curve(name, fq, fr, b, gen_x, gen_y) -> CurveSpec:
+    r = fq.r_mod_p
+    q = fq.modulus
     return CurveSpec(
         name=name, fq=fq, fr=fr, b=b, gen_x=gen_x, gen_y=gen_y,
-        b_mont=np.asarray(fp.int_to_limbs((b * fq.r_mod_p) % fq.modulus)),
+        b_mont=np.asarray(fp.int_to_limbs((b % q) * r % q)),
+        b3_mont=np.asarray(fp.int_to_limbs((3 * b % q) * r % q)),
     )
 
 
@@ -67,7 +74,7 @@ def _cjit(fn):
 
 
 # ---------------------------------------------------------------------------
-# Constructors
+# Constructors / conversions
 # ---------------------------------------------------------------------------
 
 
@@ -76,10 +83,14 @@ def affine_zero(curve: CurveSpec, shape=()) -> Affine:
     return Affine(z, z, jnp.ones(shape, bool))
 
 
-def jacobian_zero(curve: CurveSpec, shape=()) -> Jacobian:
+def jacobian_zero(curve: CurveSpec, shape=()) -> Projective:
+    """The identity (0 : 1 : 0), batched."""
     z = jnp.zeros(shape + (NLIMBS,), DTYPE)
     one = jnp.broadcast_to(jnp.asarray(curve.fq.one_mont, DTYPE), shape + (NLIMBS,))
-    return Jacobian(one, one, z)
+    return Projective(z, one, jnp.zeros(shape + (NLIMBS,), DTYPE))
+
+
+projective_zero = jacobian_zero
 
 
 def generator(curve: CurveSpec) -> Affine:
@@ -116,147 +127,25 @@ def affine_to_ints(curve: CurveSpec, pt: Affine):
     return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
 
 
-# ---------------------------------------------------------------------------
-# Core group law (branchless)
-# ---------------------------------------------------------------------------
-
-
-def _dbl_raw(curve: CurveSpec, p: Jacobian) -> Jacobian:
-    f = curve.fq
-    A = fp.square(f, p.x)
-    B = fp.square(f, p.y)
-    C = fp.square(f, B)
-    t = fp.sub(f, fp.sub(f, fp.square(f, fp.add(f, p.x, B)), A), C)
-    D = fp.add(f, t, t)  # 2*((X+B)^2 - A - C)
-    E = fp.add(f, fp.add(f, A, A), A)
-    F = fp.square(f, E)
-    X3 = fp.sub(f, F, fp.add(f, D, D))
-    eight_c = fp.add(f, C, C)
-    eight_c = fp.add(f, eight_c, eight_c)
-    eight_c = fp.add(f, eight_c, eight_c)
-    Y3 = fp.sub(f, fp.mul(f, E, fp.sub(f, D, X3)), eight_c)
-    yz = fp.mul(f, p.y, p.z)
-    Z3 = fp.add(f, yz, yz)
-    return Jacobian(X3, Y3, Z3)
-
-
 @_cjit
-def jac_double(curve: CurveSpec, p: Jacobian) -> Jacobian:
-    return _dbl_raw(curve, p)
-
-
-def _where_pt(cond, a: Jacobian, b: Jacobian) -> Jacobian:
-    c = cond[..., None]
-    return Jacobian(
-        jnp.where(c, a.x, b.x), jnp.where(c, a.y, b.y), jnp.where(c, a.z, b.z)
-    )
-
-
-@_cjit
-def jac_add(curve: CurveSpec, p: Jacobian, q: Jacobian) -> Jacobian:
-    f = curve.fq
-    Z1Z1 = fp.square(f, p.z)
-    Z2Z2 = fp.square(f, q.z)
-    U1 = fp.mul(f, p.x, Z2Z2)
-    U2 = fp.mul(f, q.x, Z1Z1)
-    S1 = fp.mul(f, fp.mul(f, p.y, q.z), Z2Z2)
-    S2 = fp.mul(f, fp.mul(f, q.y, p.z), Z1Z1)
-    H = fp.sub(f, U2, U1)
-    two_h = fp.add(f, H, H)
-    I = fp.square(f, two_h)
-    J = fp.mul(f, H, I)
-    r = fp.sub(f, S2, S1)
-    r = fp.add(f, r, r)
-    V = fp.mul(f, U1, I)
-    X3 = fp.sub(f, fp.sub(f, fp.square(f, r), J), fp.add(f, V, V))
-    s1j = fp.mul(f, S1, J)
-    Y3 = fp.sub(f, fp.mul(f, r, fp.sub(f, V, X3)), fp.add(f, s1j, s1j))
-    zsum = fp.add(f, p.z, q.z)
-    Z3 = fp.mul(f, fp.sub(f, fp.sub(f, fp.square(f, zsum), Z1Z1), Z2Z2), H)
-    out = Jacobian(X3, Y3, Z3)
-
-    p_inf = fp.is_zero(p.z)
-    q_inf = fp.is_zero(q.z)
-    same_x = fp.is_zero(H) & ~p_inf & ~q_inf
-    same_y = fp.is_zero(r)
-    dbl = _dbl_raw(curve, p)
-    inf = jacobian_zero(curve, np.broadcast_shapes(p.z.shape[:-1], q.z.shape[:-1]))
-    out = _where_pt(same_x & same_y, dbl, out)
-    out = _where_pt(same_x & ~same_y, inf, out)
-    out = _where_pt(q_inf, p, out)
-    out = _where_pt(p_inf, q, out)
-    return out
-
-
-@_cjit
-def jac_add_affine(curve: CurveSpec, p: Jacobian, q: Affine) -> Jacobian:
-    """Mixed addition (madd-2007-bl), branchless."""
-    f = curve.fq
-    Z1Z1 = fp.square(f, p.z)
-    U2 = fp.mul(f, q.x, Z1Z1)
-    S2 = fp.mul(f, fp.mul(f, q.y, p.z), Z1Z1)
-    H = fp.sub(f, U2, p.x)
-    HH = fp.square(f, H)
-    I = fp.add(f, HH, HH)
-    I = fp.add(f, I, I)
-    J = fp.mul(f, H, I)
-    r = fp.sub(f, S2, p.y)
-    r = fp.add(f, r, r)
-    V = fp.mul(f, p.x, I)
-    X3 = fp.sub(f, fp.sub(f, fp.square(f, r), J), fp.add(f, V, V))
-    yj = fp.mul(f, p.y, J)
-    Y3 = fp.sub(f, fp.mul(f, r, fp.sub(f, V, X3)), fp.add(f, yj, yj))
-    Z3 = fp.sub(f, fp.sub(f, fp.square(f, fp.add(f, p.z, H)), Z1Z1), HH)
-    out = Jacobian(X3, Y3, Z3)
-
-    p_inf = fp.is_zero(p.z)
-    q_inf = q.inf
-    q_jac = Jacobian(
-        q.x, q.y,
-        jnp.broadcast_to(jnp.asarray(curve.fq.one_mont, DTYPE), q.x.shape),
-    )
-    same_x = fp.is_zero(H) & ~p_inf & ~q_inf
-    same_y = fp.is_zero(r)
-    dbl = _dbl_raw(curve, p)
-    inf = jacobian_zero(curve, np.broadcast_shapes(p.z.shape[:-1], q.x.shape[:-1]))
-    out = _where_pt(same_x & same_y, dbl, out)
-    out = _where_pt(same_x & ~same_y, inf, out)
-    out = _where_pt(q_inf, p, out)
-    out = _where_pt(p_inf & ~q_inf, q_jac, out)
-    return out
-
-
-@_cjit
-def jac_neg(curve: CurveSpec, p: Jacobian) -> Jacobian:
-    return Jacobian(p.x, fp.neg(curve.fq, p.y), p.z)
-
-
-def affine_neg(curve: CurveSpec, p: Affine) -> Affine:
-    return Affine(p.x, fp.neg(curve.fq, p.y), p.inf)
-
-
-@_cjit
-def from_affine(curve: CurveSpec, p: Affine) -> Jacobian:
+def from_affine(curve: CurveSpec, p: Affine) -> Projective:
     one = jnp.broadcast_to(jnp.asarray(curve.fq.one_mont, DTYPE), p.x.shape)
     z = jnp.where(p.inf[..., None], jnp.zeros_like(one), one)
-    return Jacobian(p.x, p.y, z)
+    y = jnp.where(p.inf[..., None], one, p.y)
+    x = jnp.where(p.inf[..., None], jnp.zeros_like(p.x), p.x)
+    return Projective(x, y, z)
 
 
 @_cjit
-def to_affine(curve: CurveSpec, p: Jacobian) -> Affine:
-    """Batch normalisation (mirrors `batch_normalization_into_affine`).
-
-    Uses one batched inversion over all leading dims (Montgomery's trick via
-    log-depth scans in fp.batch_inverse).
-    """
+def to_affine(curve: CurveSpec, p: Projective) -> Affine:
+    """Batch normalisation (mirrors `batch_normalization_into_affine`,
+    reference src/hp_as/mod.rs:468): one batched inversion for all points."""
     f = curve.fq
     shape = p.z.shape[:-1]
     z_flat = p.z.reshape((-1, NLIMBS)) if shape else p.z.reshape((1, NLIMBS))
     zinv = fp.batch_inverse(f, z_flat).reshape(p.z.shape)
-    zinv2 = fp.square(f, zinv)
-    zinv3 = fp.mul(f, zinv2, zinv)
-    x = fp.mul(f, p.x, zinv2)
-    y = fp.mul(f, p.y, zinv3)
+    x = fp.mul(f, p.x, zinv)
+    y = fp.mul(f, p.y, zinv)
     inf = fp.is_zero(p.z)
     x = jnp.where(inf[..., None], jnp.zeros_like(x), x)
     y = jnp.where(inf[..., None], jnp.zeros_like(y), y)
@@ -267,6 +156,17 @@ def affine_eq(p: Affine, q: Affine):
     both_inf = p.inf & q.inf
     xy = fp.eq(p.x, q.x) & fp.eq(p.y, q.y) & ~p.inf & ~q.inf
     return both_inf | xy
+
+
+@_cjit
+def proj_eq(curve: CurveSpec, p: Projective, q: Projective):
+    """Projective equality by cross-multiplication (no inversion)."""
+    f = curve.fq
+    p_inf = fp.is_zero(p.z)
+    q_inf = fp.is_zero(q.z)
+    x_eq = fp.eq(fp.mul(f, p.x, q.z), fp.mul(f, q.x, p.z))
+    y_eq = fp.eq(fp.mul(f, p.y, q.z), fp.mul(f, q.y, p.z))
+    return (p_inf & q_inf) | (~p_inf & ~q_inf & x_eq & y_eq)
 
 
 @_cjit
@@ -282,23 +182,132 @@ def is_on_curve(curve: CurveSpec, p: Affine):
 
 
 # ---------------------------------------------------------------------------
-# Scalar multiplication and MSM
+# Complete group law (RCB15, a = 0)
+# ---------------------------------------------------------------------------
+
+
+def _add_raw(curve: CurveSpec, p: Projective, q: Projective) -> Projective:
+    """RCB15 algorithm 7: complete projective addition, 12M + 2 const-mul."""
+    f = curve.fq
+    b3 = jnp.asarray(curve.b3_mont, DTYPE)
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = fp.mul(f, X1, X2)
+    t1 = fp.mul(f, Y1, Y2)
+    t2 = fp.mul(f, Z1, Z2)
+    t3 = fp.mul(f, fp.add(f, X1, Y1), fp.add(f, X2, Y2))
+    t3 = fp.sub(f, t3, fp.add(f, t0, t1))          # X1Y2 + X2Y1
+    t4 = fp.mul(f, fp.add(f, Y1, Z1), fp.add(f, Y2, Z2))
+    t4 = fp.sub(f, t4, fp.add(f, t1, t2))          # Y1Z2 + Y2Z1
+    X3 = fp.mul(f, fp.add(f, X1, Z1), fp.add(f, X2, Z2))
+    Y3 = fp.sub(f, X3, fp.add(f, t0, t2))          # X1Z2 + X2Z1
+    t0 = fp.add(f, fp.add(f, t0, t0), t0)          # 3 X1X2
+    t2 = fp.mul(f, b3, t2)                         # b3 Z1Z2
+    Z3 = fp.add(f, t1, t2)
+    t1 = fp.sub(f, t1, t2)
+    Y3 = fp.mul(f, b3, Y3)                         # b3 (X1Z2 + X2Z1)
+    X3 = fp.mul(f, t4, Y3)
+    X3 = fp.sub(f, fp.mul(f, t3, t1), X3)
+    Y3 = fp.mul(f, Y3, t0)
+    Y3 = fp.add(f, fp.mul(f, t1, Z3), Y3)
+    t0 = fp.mul(f, t0, t3)
+    Z3 = fp.add(f, fp.mul(f, Z3, t4), t0)
+    return Projective(X3, Y3, Z3)
+
+
+def _add_mixed_raw(curve: CurveSpec, p: Projective, q: Affine) -> Projective:
+    """RCB15 algorithm 8 (Z2 = 1) + one select for q = infinity."""
+    f = curve.fq
+    b3 = jnp.asarray(curve.b3_mont, DTYPE)
+    X1, Y1, Z1 = p
+    X2, Y2 = q.x, q.y
+    t0 = fp.mul(f, X1, X2)
+    t1 = fp.mul(f, Y1, Y2)
+    t3 = fp.mul(f, fp.add(f, X2, Y2), fp.add(f, X1, Y1))
+    t3 = fp.sub(f, t3, fp.add(f, t0, t1))          # X1Y2 + X2Y1
+    t4 = fp.add(f, fp.mul(f, Y2, Z1), Y1)          # Y1 + Y2Z1
+    Y3 = fp.add(f, fp.mul(f, X2, Z1), X1)          # X1 + X2Z1
+    t0 = fp.add(f, fp.add(f, t0, t0), t0)          # 3 X1X2
+    t2 = fp.mul(f, b3, Z1)
+    Z3 = fp.add(f, t1, t2)
+    t1 = fp.sub(f, t1, t2)
+    Y3 = fp.mul(f, b3, Y3)
+    X3 = fp.mul(f, t4, Y3)
+    X3 = fp.sub(f, fp.mul(f, t3, t1), X3)
+    Y3 = fp.mul(f, Y3, t0)
+    Y3 = fp.add(f, fp.mul(f, t1, Z3), Y3)
+    t0 = fp.mul(f, t0, t3)
+    Z3 = fp.add(f, fp.mul(f, Z3, t4), t0)
+    out = Projective(X3, Y3, Z3)
+    qinf = q.inf[..., None]
+    return Projective(
+        jnp.where(qinf, jnp.broadcast_to(p.x, out.x.shape), out.x),
+        jnp.where(qinf, jnp.broadcast_to(p.y, out.y.shape), out.y),
+        jnp.where(qinf, jnp.broadcast_to(p.z, out.z.shape), out.z),
+    )
+
+
+def _dbl_raw(curve: CurveSpec, p: Projective) -> Projective:
+    """RCB15 algorithm 9: complete doubling, 6M + 2S + 1 const-mul."""
+    f = curve.fq
+    b3 = jnp.asarray(curve.b3_mont, DTYPE)
+    X, Y, Z = p
+    t0 = fp.square(f, Y)
+    Z3 = fp.add(f, t0, t0)
+    Z3 = fp.add(f, Z3, Z3)
+    Z3 = fp.add(f, Z3, Z3)                          # 8 Y^2
+    t1 = fp.mul(f, Y, Z)
+    t2 = fp.mul(f, b3, fp.square(f, Z))
+    X3 = fp.mul(f, t2, Z3)
+    Y3 = fp.add(f, t0, t2)
+    Z3 = fp.mul(f, t1, Z3)
+    t1 = fp.add(f, t2, t2)
+    t2 = fp.add(f, t1, t2)
+    t0 = fp.sub(f, t0, t2)
+    Y3 = fp.mul(f, t0, Y3)
+    Y3 = fp.add(f, X3, Y3)
+    t1 = fp.mul(f, X, Y)
+    X3 = fp.mul(f, t0, t1)
+    X3 = fp.add(f, X3, X3)
+    return Projective(X3, Y3, Z3)
+
+
+jac_add = _cjit(_add_raw)
+jac_add_affine = _cjit(_add_mixed_raw)
+jac_double = _cjit(_dbl_raw)
+
+
+@_cjit
+def jac_neg(curve: CurveSpec, p: Projective) -> Projective:
+    return Projective(p.x, fp.neg(curve.fq, p.y), p.z)
+
+
+def affine_neg(curve: CurveSpec, p: Affine) -> Affine:
+    return Affine(p.x, fp.neg(curve.fq, p.y), p.inf)
+
+
+def _where_pt(cond, a: Projective, b: Projective) -> Projective:
+    c = cond[..., None]
+    return Projective(
+        jnp.where(c, a.x, b.x), jnp.where(c, a.y, b.y), jnp.where(c, a.z, b.z)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar multiplication and small-N MSM
 # ---------------------------------------------------------------------------
 
 
 @_cjit
-def scalar_mul(curve: CurveSpec, p: Jacobian, scalar_mont) -> Jacobian:
-    """Double-and-add over the 256 canonical scalar bits (batched).
-
-    p: (..., ) Jacobian; scalar_mont: (..., NLIMBS) Montgomery Fr elements.
-    """
+def scalar_mul(curve: CurveSpec, p: Projective, scalar_mont) -> Projective:
+    """Double-and-add over the 256 canonical scalar bits (batched)."""
     bits = fp.canonical_bits(curve.fr, scalar_mont)  # (..., 256)
     nbits = bits.shape[-1]
 
     def body(acc, i):
         acc = _dbl_raw(curve, acc)
         bit = bits[..., nbits - 1 - i]
-        added = jac_add(curve, acc, p)
+        added = _add_raw(curve, acc, p)
         acc = _where_pt(bit == 1, added, acc)
         return acc, None
 
@@ -307,42 +316,36 @@ def scalar_mul(curve: CurveSpec, p: Jacobian, scalar_mont) -> Jacobian:
     return acc
 
 
-def _tree_reduce(curve: CurveSpec, pts: Jacobian) -> Jacobian:
+def _tree_reduce(curve: CurveSpec, pts: Projective) -> Projective:
     """Sum points over the leading axis with a log-depth add tree."""
     n = pts.z.shape[0]
-    # pad to power of two with infinity
-    m = 1 if n == 0 else 1 << (n - 1).bit_length()
     if n == 0:
         return jacobian_zero(curve, pts.z.shape[1:-1])
+    m = 1 << (n - 1).bit_length()
     if m != n:
         pad = jacobian_zero(curve, (m - n,) + pts.z.shape[1:-1])
-        pts = Jacobian(*(jnp.concatenate([a, b], 0) for a, b in zip(pts, pad)))
+        pts = Projective(*(jnp.concatenate([a, b], 0) for a, b in zip(pts, pad)))
     while m > 1:
         half = m // 2
-        left = Jacobian(*(a[:half] for a in pts))
-        right = Jacobian(*(a[half:] for a in pts))
-        pts = jac_add(curve, left, right)
+        left = Projective(*(a[:half] for a in pts))
+        right = Projective(*(a[half:] for a in pts))
+        pts = _add_raw(curve, left, right)
         m = half
-    return Jacobian(pts.x[0], pts.y[0], pts.z[0])
+    return Projective(pts.x[0], pts.y[0], pts.z[0])
 
 
 @_cjit
-def msm_bitserial(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
-    """MSM for small N: bit-serial double-and-add with a masked tree sum.
-
-    points: (N,) Affine, scalars_mont: (N, NLIMBS).  O(256) sequential steps,
-    each a width-N vectorised masked tree reduction.  Used for the small MSMs
-    in tests and verifier-side combines; Pippenger (ops/msm.py) covers large N.
-    """
+def msm_bitserial(curve: CurveSpec, points: Affine, scalars_mont) -> Projective:
+    """MSM for small N: bit-serial double-and-add with a masked tree sum."""
     bits = fp.canonical_bits(curve.fr, scalars_mont)  # (N, 256)
     nbits = bits.shape[-1]
-    pts_jac = from_affine(curve, points)
+    pts = from_affine(curve, points)
 
     def body(acc, i):
         acc = _dbl_raw(curve, acc)
         mask = bits[:, nbits - 1 - i] == 1
-        sel = _where_pt(mask, pts_jac, jacobian_zero(curve, (bits.shape[0],)))
-        acc = jac_add(curve, acc, _tree_reduce(curve, sel))
+        sel = _where_pt(mask, pts, jacobian_zero(curve, (bits.shape[0],)))
+        acc = _add_raw(curve, acc, _tree_reduce(curve, sel))
         return acc, None
 
     acc, _ = jax.lax.scan(body, jacobian_zero(curve, ()), jnp.arange(nbits))
@@ -350,12 +353,9 @@ def msm_bitserial(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
 
 
 @_cjit
-def lincomb(curve: CurveSpec, points: Jacobian, scalars_mont) -> Jacobian:
-    """Linear combination of a few Jacobian points (batched bit-serial).
-
-    Same as msm_bitserial but for Jacobian inputs, used for verifier-side
-    commitment combines (reference hp_as/mod.rs:391-406).
-    """
+def lincomb(curve: CurveSpec, points: Projective, scalars_mont) -> Projective:
+    """Linear combination of a few projective points (batched bit-serial);
+    verifier-side commitment combines (reference hp_as/mod.rs:391-406)."""
     bits = fp.canonical_bits(curve.fr, scalars_mont)
     nbits = bits.shape[-1]
 
@@ -363,7 +363,7 @@ def lincomb(curve: CurveSpec, points: Jacobian, scalars_mont) -> Jacobian:
         acc = _dbl_raw(curve, acc)
         mask = bits[:, nbits - 1 - i] == 1
         sel = _where_pt(mask, points, jacobian_zero(curve, (bits.shape[0],)))
-        acc = jac_add(curve, acc, _tree_reduce(curve, sel))
+        acc = _add_raw(curve, acc, _tree_reduce(curve, sel))
         return acc, None
 
     acc, _ = jax.lax.scan(body, jacobian_zero(curve, ()), jnp.arange(nbits))

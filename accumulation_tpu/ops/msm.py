@@ -1,0 +1,183 @@
+"""Multi-scalar multiplication (the throughput core, SURVEY.md §7.3).
+
+TPU-native Pippenger.  The reference's MSMs live in arkworks `ark-ec`
+(`PedersenCommitment::commit`, IPA folding; reference call sites
+src/hp_as/mod.rs:196-214,377 and ark-poly-commit's ipa_pc open/check).  GPUs
+implement Pippenger with atomics/scatter into buckets; TPUs have neither, so
+the bucket accumulation is reformulated as a *dense slot matrix*:
+
+  1. split each 256-bit scalar into W = 256/c windows of c-bit digits;
+  2. per window, sort point indices by digit (XLA sort), compute each point's
+     rank within its digit segment, and scatter indices into a static
+     ``(W, 2^c, S)`` slot matrix (S = max bucket occupancy, host-synced and
+     bucketed to a power of two to bound recompiles);
+  3. sweep slots t = 0..S-1: one *batched mixed addition* of the gathered
+     points into all W * 2^c bucket accumulators at once — the group adds
+     run 8k+ lanes wide on the VPU with zero dynamic control flow;
+  4. per window, aggregate sum_v v * B_v with a reverse associative scan
+     (suffix sums) + tree reduction — both log-depth;
+  5. Horner-combine windows with c doublings per step.
+
+Total group-op work matches classic Pippenger (~W*N adds); every step is a
+wide vectorised op.  Scalars whose digit is 0 never enter a bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import weierstrass as wst
+from ..curves.weierstrass import Affine, Jacobian, CurveSpec
+from ..fields import fp
+from ..fields.fp import NLIMBS, DTYPE
+
+SMALL_N_THRESHOLD = 96
+
+
+def _pick_c(n: int) -> int:
+    if n >= 1 << 16:
+        return 8
+    return 4
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _digits_and_sort(curve: CurveSpec, scalars_mont, c: int):
+    """-> (sorted_digits (W,N), perm (W,N), ranks (W,N), max_count ())."""
+    bits = fp.canonical_bits(curve.fr, scalars_mont)  # (N, 256)
+    n = bits.shape[0]
+    w = 256 // c
+    weights = (jnp.uint32(1) << jnp.arange(c, dtype=jnp.uint32)).astype(jnp.int32)
+    digits = jnp.einsum(
+        "nwc,c->nw", bits.reshape(n, w, c).astype(jnp.int32), weights
+    )  # (N, W)
+    digits_t = digits.T  # (W, N)
+    perm = jnp.argsort(digits_t, axis=-1, stable=True)
+    sorted_digits = jnp.take_along_axis(digits_t, perm, axis=-1)
+    first = jax.vmap(
+        lambda sd: jnp.searchsorted(sd, sd, side="left")
+    )(sorted_digits)
+    ranks = jnp.arange(n)[None, :] - first
+    nonzero = sorted_digits > 0
+    count_in_bucket = jnp.where(nonzero, ranks + 1, 0)
+    max_count = jnp.max(count_in_bucket)
+    return sorted_digits, perm, ranks, max_count
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
+                  c: int, s: int) -> Jacobian:
+    """Builds the slot matrix and returns the full MSM result."""
+    perm, ranks = perm_ranks
+    w = 256 // c
+    nb = 1 << c
+    n = perm.shape[-1]
+
+    # --- slot matrix: (W, 2^c, S) of point indices, sentinel = n ------------
+    valid = (sorted_digits > 0) & (ranks < s)
+    lin_idx = (
+        jnp.arange(w)[:, None] * (nb * s)
+        + sorted_digits * s
+        + jnp.clip(ranks, 0, s - 1)
+    )
+    lin_idx = jnp.where(valid, lin_idx, w * nb * s)  # drop slot
+    slot_flat = jnp.full((w * nb * s + 1,), n, dtype=jnp.int32)
+    slot_flat = slot_flat.at[lin_idx.reshape(-1)].set(
+        perm.reshape(-1).astype(jnp.int32), mode="drop"
+    )
+    slots = slot_flat[: w * nb * s].reshape(w, nb, s)
+
+    # --- points with infinity sentinel at index n ---------------------------
+    px = jnp.concatenate([points.x, jnp.zeros((1, NLIMBS), DTYPE)], axis=0)
+    py = jnp.concatenate([points.y, jnp.zeros((1, NLIMBS), DTYPE)], axis=0)
+    pinf = jnp.concatenate([points.inf, jnp.ones((1,), bool)], axis=0)
+
+    # --- slot sweep: S steps of (W * 2^c)-wide mixed adds -------------------
+    def body(acc, t):
+        idx = slots[:, :, t]
+        q = Affine(px[idx], py[idx], pinf[idx])
+        return wst.jac_add_affine(curve, acc, q), None
+
+    init = wst.jacobian_zero(curve, (w, nb))
+    buckets, _ = jax.lax.scan(body, init, jnp.arange(s)) if s > 0 else (init, None)
+
+    # --- per-window weighted bucket aggregation -----------------------------
+    # sum_{v>=1} v*B_v via the running/total trick, scanning buckets from the
+    # top: running += B_v; total += running.  One scan, two adds per step —
+    # compile-light; the W-wide lanes keep each step vectorised.
+    def agg_body(carry, v):
+        running, total = carry
+        bv = Jacobian(buckets.x[:, v], buckets.y[:, v], buckets.z[:, v])
+        running = wst.jac_add(curve, running, bv)
+        total = wst.jac_add(curve, total, running)
+        return (running, total), None
+
+    init_agg = (wst.jacobian_zero(curve, (w,)), wst.jacobian_zero(curve, (w,)))
+    (_, window_sums), _ = jax.lax.scan(
+        agg_body, init_agg, jnp.arange(nb - 1, 0, -1)
+    )
+
+    # --- Horner combine over windows (top window first) ---------------------
+    def horner(acc, wi):
+        def dbl(a, _):
+            return wst.jac_double(curve, a), None
+        acc, _ = jax.lax.scan(dbl, acc, None, length=c)
+        pt = Jacobian(window_sums.x[wi], window_sums.y[wi], window_sums.z[wi])
+        return wst.jac_add(curve, acc, pt), None
+
+    acc, _ = jax.lax.scan(horner, wst.jacobian_zero(curve, ()),
+                          jnp.arange(w - 1, -1, -1))
+    return acc
+
+
+def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobian:
+    """MSM: sum_i scalars[i] * points[i] -> Jacobian point.
+
+    points: (N,) Affine, scalars_mont: (N, NLIMBS) Montgomery Fr.
+    Small N uses the bit-serial kernel (one jit, no host sync); large N uses
+    Pippenger with one host sync for the slot-matrix size.
+    """
+    n = points.x.shape[0]
+    if n == 0:
+        return wst.jacobian_zero(curve, ())
+    if n <= SMALL_N_THRESHOLD:
+        return wst.msm_bitserial(curve, points, scalars_mont)
+    if c is None:
+        c = _pick_c(n)
+    sorted_digits, perm, ranks, max_count = _digits_and_sort(
+        curve, scalars_mont, c
+    )
+    s = int(max_count)  # host sync (one int)
+    if s == 0:
+        return wst.jacobian_zero(curve, ())
+    s = 1 << (s - 1).bit_length()  # bucket to pow2 to bound recompiles
+    s = min(s, n)
+    return _bucket_phase(curve, points, sorted_digits, (perm, ranks), c, s)
+
+
+def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
+    """Batched MSM sharing one point set: scalars (B, N, NLIMBS) -> (B,) Jacobian.
+
+    Used for committing many equal-length vectors under one Pedersen key
+    (e.g. the 2m-2 t-vec commitments, reference src/hp_as/mod.rs:354-388).
+    """
+    n = points.x.shape[0]
+    b = scalars_mont.shape[0]
+    if b == 0:
+        return wst.jacobian_zero(curve, (0,))
+    if n <= SMALL_N_THRESHOLD:
+        return jax.vmap(lambda s: wst.msm_bitserial(curve, points, s))(scalars_mont)
+    c = _pick_c(n)
+    sorted_digits, perm, ranks, max_count = jax.vmap(
+        lambda s: _digits_and_sort(curve, s, c)
+    )(scalars_mont)
+    s = int(jnp.max(max_count))
+    if s == 0:
+        return wst.jacobian_zero(curve, (b,))
+    s = min(1 << (s - 1).bit_length(), n)
+    return jax.vmap(
+        lambda sd, pe, ra: _bucket_phase(curve, points, sd, (pe, ra), c, s)
+    )(sorted_digits, perm, ranks)

@@ -183,8 +183,9 @@ def _carry_propagate(cols, out_limbs=None):
 
 def _sub_limbs(a, b):
     """a - b with borrow chain; returns (diff_limbs, borrow_out (0/1))."""
+    a, b = jnp.broadcast_arrays(a, b)
     am = jnp.moveaxis(a, -1, 0)
-    bm = jnp.moveaxis(jnp.broadcast_to(b, a.shape), -1, 0)
+    bm = jnp.moveaxis(b, -1, 0)
 
     def body(borrow, ab):
         ai, bi = ab
@@ -514,15 +515,24 @@ def canonical_bits(spec: FieldSpec, a, nbits: int = 256):
     return bits[..., :nbits]
 
 
+@_fjit
+def reduce_raw_limbs(spec: FieldSpec, raw):
+    """256 uniform random bits -> field element (Montgomery form).
+
+    raw < 2^256 < 4p for ~254-bit p, so at most three conditional subtracts
+    canonicalise it; the distribution bias is O(2^-252) — negligible.  A
+    uniform residue is uniform in the Montgomery domain, so the result is
+    used directly as a Montgomery-form element.
+    """
+    x = raw
+    for _ in range(3):
+        x = _cond_sub_p(spec, x)
+    return x
+
+
 def random_elements(spec: FieldSpec, rng: np.random.Generator, shape=()):
-    """Host RNG -> uniform field elements (Montgomery form, device array)."""
-    n = int(np.prod(shape)) if shape else 1
-    out = np.zeros((n, NLIMBS), dtype=np.uint32)
-    for i in range(n):
-        x = 0
-        # rejection-free: 512 random bits mod p (negligible bias for tests/zk)
-        for _ in range(4):
-            x = (x << 128) | int.from_bytes(rng.bytes(16), "little")
-        out[i] = int_to_limbs(x % spec.modulus)
-    arr = jnp.asarray(out.reshape(*shape, NLIMBS) if shape else out[0])
-    return to_mont(spec, arr)
+    """Host RNG -> uniform field elements (Montgomery form, device array).
+
+    Vectorised: one numpy draw + a jitted reduction (no per-element python)."""
+    raw = rng.integers(0, 1 << LIMB_BITS, size=shape + (NLIMBS,), dtype=np.uint32)
+    return reduce_raw_limbs(spec, jnp.asarray(raw))

@@ -1,0 +1,109 @@
+"""Dense univariate polynomial ops over a scalar field (layer L1, poly part).
+
+TPU-native counterpart of the `ark-poly` DensePolynomial surface the
+reference consumes (`evaluate`, `naive_mul`, linear division, `+=`; e.g.
+reference src/trivial_pc_as/mod.rs:198-202, src/ipa_pc_as/mod.rs:391-421).
+
+A polynomial is a fixed-length coefficient tensor ``(..., D, NLIMBS)`` in
+Montgomery form, low degree first, zero-padded to its allocation — static
+shapes are what XLA wants, and degree bookkeeping lives at the scheme layer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fp
+from ..fields.fp import NLIMBS, DTYPE, FieldSpec
+
+
+def _pjit(fn):
+    return jax.jit(fn, static_argnums=0)
+
+
+@_pjit
+def evaluate(spec: FieldSpec, coeffs, point):
+    """Horner evaluation.  coeffs (..., D, L), point (..., L) -> (..., L)."""
+    d = coeffs.shape[-2]
+    moved = jnp.moveaxis(coeffs, -2, 0)  # (D, ..., L)
+
+    def body(acc, c):
+        return fp.add(spec, fp.mul(spec, acc, point), c), None
+
+    out_shape = jnp.broadcast_shapes(point.shape, moved.shape[1:])
+    init = jnp.zeros(out_shape, DTYPE)
+    acc, _ = jax.lax.scan(body, init, moved[::-1])
+    return acc
+
+
+@_pjit
+def divide_by_linear(spec: FieldSpec, coeffs, z):
+    """Synthetic division by (X - z).
+
+    coeffs: (D, L) -> (quotient (D, L) with top coefficient zero, remainder).
+    p(X) = (X - z) q(X) + r with q_i = a_{i+1} + z*q_{i+1}.
+    """
+    d = coeffs.shape[-2]
+
+    def body(q_next, a):
+        q_i = fp.add(spec, a, fp.mul(spec, z, q_next))
+        return q_i, q_next
+
+    # scan from the top coefficient down; emitted values are q_{i} shifted
+    rem, qs = jax.lax.scan(body, jnp.zeros_like(z), coeffs[::-1])
+    q = qs[::-1]  # q[i] = quotient coefficient i
+    return q, rem
+
+
+@_pjit
+def weighted_sum(spec: FieldSpec, vecs, weights):
+    """sum_i weights[i] * vecs[i] over the leading axis.
+
+    vecs: (m, ..., L), weights: (m, L) (or (m, ..., L) broadcastable).
+    Log-depth tree of field adds.
+    """
+    m = vecs.shape[0]
+    w = weights.reshape(weights.shape[:1] + (1,) * (vecs.ndim - 2) + (NLIMBS,))
+    terms = fp.mul(spec, vecs, w)
+    while m > 1:
+        half = m // 2
+        low, high = terms[:half], terms[half:half * 2]
+        summed = fp.add(spec, low, high)
+        if m % 2:
+            summed = jnp.concatenate([summed, terms[-1:]], axis=0)
+            m = half + 1
+        else:
+            m = half
+        terms = summed
+    return terms[0]
+
+
+@_pjit
+def scale(spec: FieldSpec, coeffs, c):
+    return fp.mul(spec, coeffs, c[..., None, :])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def powers(spec: FieldSpec, x, n: int):
+    """[1, x, x^2, ..., x^{n-1}] -> (n, L).  Log-depth (associative scan)."""
+    one = jnp.asarray(spec.one_mont, DTYPE)
+    xs = jnp.broadcast_to(x, (n,) + x.shape)
+    xs = jnp.concatenate([one[None], xs[:-1]], axis=0) if n > 0 else xs
+    return jax.lax.associative_scan(lambda a, b: fp.mul(spec, a, b), xs, axis=0)
+
+
+def from_ints(spec: FieldSpec, ints, pad_to=None):
+    n = len(ints)
+    d = pad_to or n
+    arr = np.zeros((d, NLIMBS), np.uint32)
+    for i, x in enumerate(ints):
+        arr[i] = fp.int_to_limbs(x % spec.modulus)
+    return fp.to_mont(spec, jnp.asarray(arr))
+
+
+def to_ints(spec: FieldSpec, coeffs):
+    return fp.array_to_ints(spec, coeffs)

@@ -1,0 +1,143 @@
+"""Pedersen vector commitments (layer L3).
+
+TPU-native replacement for `ark_poly_commit::trivial_pc::PedersenCommitment`
+(reference call sites: src/hp_as/mod.rs:196-214,377,640-641,911-918 and
+src/r1cs_nark_as/r1cs_nark/mod.rs:107-108,216-218).
+
+API surface mirrored: `setup(n)`, `trim(pp, n)`,
+`commit(ck, elems, randomness)` (an MSM of length n, + r*H for hiding),
+`supported_num_elems`.
+
+Generator derivation is deterministic hash-to-curve, executed ON DEVICE:
+candidate x-coordinates come from a seeded counter-mode PRG; a single batched
+Tonelli-Shanks solve finds y for every candidate at once, and the first n
+valid curve points (in candidate order) are compacted out with a stable sort
+— no per-point host loop, which is what makes 2^20-generator setups viable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import weierstrass as wst
+from ..curves.weierstrass import Affine, CurveSpec
+from ..fields import fp
+from ..fields.fp import NLIMBS, DTYPE
+from ..ops import msm as msm_mod
+
+GENERATOR_SEED = b"accumulation-tpu/pedersen/v1"
+
+
+class PedersenParams(NamedTuple):
+    generators: Affine  # (n,)
+    hiding_generator: Affine  # ()
+
+
+class PedersenKey(NamedTuple):
+    generators: Affine  # (n,)
+    hiding_generator: Affine  # ()
+
+    @property
+    def supported_num_elems(self) -> int:
+        return self.generators.x.shape[0]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _solve_candidates(curve: CurveSpec, xs):
+    """xs: (m, NLIMBS) Montgomery candidates -> (Affine (m,), ok (m,))."""
+    f = curve.fq
+    rhs = fp.add(
+        f,
+        fp.mul(f, fp.square(f, xs), xs),
+        jnp.broadcast_to(jnp.asarray(curve.b_mont, DTYPE), xs.shape),
+    )
+    y, ok = fp.sqrt(f, rhs)
+    # canonical y choice: the smaller of {y, p - y} as integers
+    y_neg = fp.neg(f, y)
+    yc = fp.from_mont(f, y)
+    ync = fp.from_mont(f, y_neg)
+    y_is_bigger = fp._geq(yc, ync)
+    y = jnp.where(y_is_bigger[..., None], y_neg, y)
+    return Affine(xs, y, jnp.zeros(xs.shape[:-1], bool)), ok
+
+
+def _sample_points(curve: CurveSpec, n: int, seed: bytes) -> Affine:
+    """Deterministically sample n independent curve points."""
+    if n == 0:
+        return wst.affine_zero(curve, (0,))
+    import hashlib
+
+    digest = hashlib.blake2b(seed, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(digest, "little"))
+    found_x, found_y = [], []
+    remaining = n
+    while remaining > 0:
+        m = max(64, int(remaining * 1.3))
+        raw = rng.integers(0, 1 << 16, size=(m, NLIMBS), dtype=np.uint32)
+        raw[:, -1] &= 0x3FFF  # 254-bit candidates < p
+        pts, ok = _solve_candidates(curve, fp.to_mont(curve.fq, jnp.asarray(raw)))
+        okh = np.asarray(ok)
+        xs = np.asarray(pts.x)[okh]
+        ys = np.asarray(pts.y)[okh]
+        take = min(remaining, xs.shape[0])
+        found_x.append(xs[:take])
+        found_y.append(ys[:take])
+        remaining -= take
+    gx = jnp.asarray(np.concatenate(found_x, axis=0))
+    gy = jnp.asarray(np.concatenate(found_y, axis=0))
+    return Affine(gx, gy, jnp.zeros((n,), bool))
+
+
+def setup(curve: CurveSpec, n: int) -> PedersenParams:
+    """`PedersenCommitment::setup(n)` analog (deterministic)."""
+    pts = _sample_points(curve, n + 1, GENERATOR_SEED + b"|" + curve.name.encode())
+    gens = Affine(pts.x[:n], pts.y[:n], pts.inf[:n])
+    h = Affine(pts.x[n], pts.y[n], pts.inf[n])
+    return PedersenParams(gens, h)
+
+
+def trim(pp: PedersenParams, n: int) -> PedersenKey:
+    assert pp.generators.x.shape[0] >= n, "setup too small for trim"
+    g = pp.generators
+    return PedersenKey(Affine(g.x[:n], g.y[:n], g.inf[:n]), pp.hiding_generator)
+
+
+def commit(curve: CurveSpec, ck: PedersenKey, elems, randomness=None) -> Affine:
+    """Commit to a vector of scalars: C = <elems, G> (+ r*H).
+
+    elems: (k, NLIMBS) Montgomery Fr with k <= supported; randomness: scalar
+    (NLIMBS,) or None.  Returns a single affine point.
+    """
+    k = elems.shape[0]
+    n = ck.supported_num_elems
+    assert k <= n, "vector longer than key"
+    gens = Affine(ck.generators.x[:k], ck.generators.y[:k], ck.generators.inf[:k])
+    acc = msm_mod.msm(curve, gens, elems)
+    if randomness is not None:
+        h_j = wst.from_affine(curve, ck.hiding_generator)
+        acc = wst.jac_add(curve, acc, wst.scalar_mul(curve, h_j, randomness))
+    return wst.to_affine(curve, acc)
+
+
+def commit_batched(curve: CurveSpec, ck: PedersenKey, elems, randomness=None) -> Affine:
+    """Batched commit: elems (B, k, NLIMBS), randomness (B, NLIMBS) or None.
+
+    One fused batched MSM (the TPU-native grouping of e.g. the 2m-2 t-vec
+    commits, reference src/hp_as/mod.rs:354-388)."""
+    b, k = elems.shape[0], elems.shape[1]
+    gens = Affine(ck.generators.x[:k], ck.generators.y[:k], ck.generators.inf[:k])
+    acc = msm_mod.msm_batched(curve, gens, elems)
+    if randomness is not None:
+        h_j = wst.from_affine(curve, ck.hiding_generator)
+        hb = wst.Projective(
+            jnp.broadcast_to(h_j.x, (b, NLIMBS)),
+            jnp.broadcast_to(h_j.y, (b, NLIMBS)),
+            jnp.broadcast_to(h_j.z, (b, NLIMBS)),
+        )
+        acc = wst.jac_add(curve, acc, wst.scalar_mul(curve, hb, randomness))
+    return wst.to_affine(curve, acc)

@@ -1,0 +1,66 @@
+"""Generic accumulation-chain test harness.
+
+Mirrors the reference's `ASTests::test_template` and the six canonical input
+shapes (/root/reference/src/lib.rs:334-459): per iteration, for each entry in
+`num_inputs_per_iteration`, prove with that many fresh inputs plus all
+accumulators produced so far in the iteration, verify the result, and decide
+the last accumulator of the iteration.
+
+`NUM_ITERATIONS` is 50 in the reference; here it defaults to 2 (override with
+ACCUM_TEST_ITERS) — each iteration exercises the identical code path and the
+compile cache makes later iterations cheap, but CI time matters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from accumulation_tpu.core.accumulation import InstanceWitnessPair, MakeZK
+
+NUM_ITERATIONS = int(os.environ.get("ACCUM_TEST_ITERS", "2"))
+
+
+def test_template(scheme, keys, generate_inputs, num_inputs_per_iteration,
+                  make_zk, rng, num_iterations=None, sponge=None):
+    """Returns True iff every verify and decide in the chain passed."""
+    pk, vk, dk = keys
+    num_iterations = num_iterations or NUM_ITERATIONS
+    total = num_iterations * sum(num_inputs_per_iteration)
+    inputs = generate_inputs(total)
+    assert len(inputs) == total
+
+    start = 0
+    for _ in range(num_iterations):
+        old_accumulators = []
+        for num in num_inputs_per_iteration:
+            batch = inputs[start:start + num]
+            start += num
+            accumulator, proof = scheme.prove(
+                pk, batch, old_accumulators,
+                MakeZK.Enabled(rng) if make_zk else MakeZK.Disabled(),
+                sponge=None if sponge is None else sponge(),
+            )
+            ok = scheme.verify(
+                vk,
+                [b.instance for b in batch],
+                [a.instance for a in old_accumulators],
+                accumulator.instance,
+                proof,
+                sponge=None if sponge is None else sponge(),
+            )
+            if not ok:
+                return False
+            old_accumulators.append(accumulator)
+        assert old_accumulators
+        if not scheme.decide(dk, old_accumulators[-1]):
+            return False
+    return True
+
+
+# The six canonical shapes (reference src/lib.rs:398-459):
+SINGLE_INPUT_INIT = [1]
+MULTIPLE_INPUTS_INIT = [3]
+SIMPLE_ACCUMULATION = [1, 1]
+MULTIPLE_INPUTS_ACCUMULATION = [1, 1, 2, 3]
+ACCUMULATORS_ONLY = [1, 0, 0, 0]
+NO_INPUTS_INIT = [0]

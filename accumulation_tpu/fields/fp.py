@@ -505,7 +505,7 @@ def array_to_ints(spec: FieldSpec, a) -> list:
     return [limbs_to_int(row) for row in flat]
 
 
-@_fjit
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def canonical_bits(spec: FieldSpec, a, nbits: int = 256):
     """Montgomery array (..., NLIMBS) -> (..., nbits) uint32 LE bit array."""
     canon = from_mont(spec, a)

@@ -15,9 +15,10 @@ Design notes (TPU-first):
   * Montgomery REDC (not CIOS): REDC needs three wide multiplies but has no
     per-limb sequential multiply/reduce interleaving, which keeps the op graph
     wide and parallel; the only sequential parts are short carry chains.
-  * The anti-diagonal "column" reduction of the 16x16 partial-product tensor is
-    expressed as a matmul with a constant 0/1 matrix in float32 (exact: all
-    sums < 2^24), so XLA can put the contraction on the MXU.
+  * The anti-diagonal "column" reduction of the 16x16 partial-product tensor
+    uses an exact integer skew-reshape (pad rows / reflatten / reduce): TPU
+    float matmuls round through bf16 passes, so the contraction must stay in
+    uint32 VPU ops to be bit-exact.
 """
 
 from __future__ import annotations
@@ -48,40 +49,6 @@ def limbs_to_int(limbs) -> int:
     limbs = np.asarray(limbs)
     assert limbs.shape == (NLIMBS,)
     return sum(int(limbs[i]) << (LIMB_BITS * i) for i in range(NLIMBS))
-
-
-def _build_column_matrix() -> np.ndarray:
-    """Constant (2*NLIMBS*NLIMBS, 2*NLIMBS) 0/1 matrix.
-
-    Row layout: the flattened (i, j) low parts first, then the (i, j) high
-    parts.  lo(i,j) contributes to column i+j; hi(i,j) to column i+j+1.
-    """
-    n = NLIMBS
-    mat = np.zeros((2 * n * n, 2 * n), dtype=np.float32)
-    for i in range(n):
-        for j in range(n):
-            mat[i * n + j, i + j] = 1.0
-            mat[n * n + i * n + j, i + j + 1] = 1.0
-    return mat
-
-
-_COLUMN_MATRIX = _build_column_matrix()
-
-
-def _build_low_column_matrix() -> np.ndarray:
-    """Routing matrix for the low-half (mod 2^256) product: columns 0..16."""
-    n = NLIMBS
-    mat = np.zeros((2 * n * n, n + 1), dtype=np.float32)
-    for i in range(n):
-        for j in range(n):
-            if i + j <= n:
-                mat[i * n + j, i + j] = 1.0
-            if i + j + 1 <= n:
-                mat[n * n + i * n + j, i + j + 1] = 1.0
-    return mat
-
-
-_LOW_COLUMN_MATRIX = _build_low_column_matrix()
 
 
 @dataclass(frozen=True, eq=False)
@@ -160,22 +127,44 @@ def make_field(name: str, modulus: int, nonresidue: int = 5) -> FieldSpec:
 # ---------------------------------------------------------------------------
 
 
+# Carry-chain style.  Unrolled chains let XLA fuse a whole field op into one
+# kernel (essential on TPU, where a lax.scan round-trips HBM every tiny step);
+# scan-based chains keep traced graphs small (faster compiles — the right
+# trade on the CPU test backend).  Default: unroll unless JAX_PLATFORMS
+# requests cpu.
+import os as _os
+
+UNROLL_CARRIES = _os.environ.get(
+    "ACCUM_TPU_UNROLL_CARRIES",
+    "0" if "cpu" in _os.environ.get("JAX_PLATFORMS", "") else "1",
+) == "1"
+
+
 def _carry_propagate(cols, out_limbs=None):
     """Sequential carry normalisation: cols (..., n) values < 2^32 -> 16-bit limbs.
 
-    Returns (limbs, carry_out).  Implemented as a lax.scan over the limb axis
-    so the traced graph is O(1) in the limb count (compile-time friendly); the
-    chain itself is short (n <= 32 dependent steps of trivial VPU ops).
+    Returns (limbs, carry_out, None).  The chain is n <= 32 dependent steps of
+    trivial VPU ops; see UNROLL_CARRIES for the unroll-vs-scan trade.
     """
     n = cols.shape[-1]
-    moved = jnp.moveaxis(cols, -1, 0)
+    if UNROLL_CARRIES:
+        limbs = []
+        carry = jnp.zeros(cols.shape[:-1], dtype=DTYPE)
+        for i in range(n):
+            v = cols[..., i] + carry
+            limbs.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        out = jnp.stack(limbs, axis=-1)
+    else:
+        moved = jnp.moveaxis(cols, -1, 0)
 
-    def body(carry, col):
-        v = col + carry
-        return v >> LIMB_BITS, v & LIMB_MASK
+        def body(carry, col):
+            v = col + carry
+            return v >> LIMB_BITS, v & LIMB_MASK
 
-    carry, limbs = jax.lax.scan(body, jnp.zeros(cols.shape[:-1], DTYPE), moved)
-    out = jnp.moveaxis(limbs, 0, -1)
+        carry, limbs = jax.lax.scan(
+            body, jnp.zeros(cols.shape[:-1], DTYPE), moved)
+        out = jnp.moveaxis(limbs, 0, -1)
     if out_limbs is not None and out_limbs != n:
         out = out[..., :out_limbs]
     return out, carry, None
@@ -184,6 +173,14 @@ def _carry_propagate(cols, out_limbs=None):
 def _sub_limbs(a, b):
     """a - b with borrow chain; returns (diff_limbs, borrow_out (0/1))."""
     a, b = jnp.broadcast_arrays(a, b)
+    if UNROLL_CARRIES:
+        limbs = []
+        borrow = jnp.zeros(a.shape[:-1], dtype=DTYPE)
+        for i in range(a.shape[-1]):
+            v = a[..., i] - b[..., i] - borrow
+            limbs.append(v & LIMB_MASK)
+            borrow = (v >> 31) & 1
+        return jnp.stack(limbs, axis=-1), borrow
     am = jnp.moveaxis(a, -1, 0)
     bm = jnp.moveaxis(b, -1, 0)
 
@@ -212,27 +209,39 @@ def _cond_sub_p(spec: FieldSpec, a):
     return jnp.where((borrow == 0)[..., None], diff, a)
 
 
+def _skew_diag_sums(mat):
+    """Anti-diagonal sums of (..., n, n) -> (..., 2n-1), exact in uint32.
+
+    Row r padded to width 2n, flattened and re-chunked to width 2n-1 lands
+    shifted right by r (index algebra: r*2n + c == r*(2n-1) + (r+c)), so a
+    single reduction over rows yields sum_{i+j=k} mat[i, j].  Pure
+    pad/reshape/reduce — integer-exact, compile-light, VPU-friendly.
+    """
+    n = mat.shape[-1]
+    batch = mat.shape[:-2]
+    padded = jnp.concatenate(
+        [mat, jnp.zeros(batch + (n, n), dtype=mat.dtype)], axis=-1)
+    flat = padded.reshape(*batch, 2 * n * n)[..., : n * (2 * n - 1)]
+    skewed = flat.reshape(*batch, n, 2 * n - 1)
+    return jnp.sum(skewed, axis=-2)
+
+
 def _wide_mul_cols(a, b):
     """Full 256x256-bit product as 32 columns of partial sums (each < 2^22).
 
     a, b: (..., NLIMBS) -> (..., 2*NLIMBS) uint32 column sums (not carried).
-    The contraction with the constant routing matrix is exact in float32.
+    All-integer: the TPU's float matmul path truncates through bf16, so the
+    anti-diagonal contraction uses the exact skew-reshape reduction instead.
     """
     prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16) uint32 (exact)
-    lo = (prod & LIMB_MASK).astype(jnp.float32)
-    hi = (prod >> LIMB_BITS).astype(jnp.float32)
-    flat = jnp.concatenate(
-        [lo.reshape(*lo.shape[:-2], NLIMBS * NLIMBS),
-         hi.reshape(*hi.shape[:-2], NLIMBS * NLIMBS)],
-        axis=-1,
-    )
-    cols = jax.lax.dot_general(
-        flat,
-        jnp.asarray(_COLUMN_MATRIX),
-        ((( flat.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return cols.astype(DTYPE)
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    cols_lo = _skew_diag_sums(lo)  # (..., 31): col k = sum_{i+j=k}
+    cols_hi = _skew_diag_sums(hi)
+    cols = jnp.zeros(a.shape[:-1] + (2 * NLIMBS,), dtype=DTYPE)
+    cols = cols.at[..., : 2 * NLIMBS - 1].add(cols_lo)
+    cols = cols.at[..., 1: 2 * NLIMBS].add(cols_hi)
+    return cols
 
 
 def _low_half_mul_limbs(a, b_const_limbs):
@@ -242,20 +251,13 @@ def _low_half_mul_limbs(a, b_const_limbs):
     """
     b = jnp.asarray(b_const_limbs, dtype=DTYPE)
     prod = a[..., :, None] * b[None, :]  # (..., 16, 16)
-    lo = (prod & LIMB_MASK).astype(jnp.float32)
-    hi = (prod >> LIMB_BITS).astype(jnp.float32)
-    flat = jnp.concatenate(
-        [lo.reshape(*lo.shape[:-2], NLIMBS * NLIMBS),
-         hi.reshape(*hi.shape[:-2], NLIMBS * NLIMBS)],
-        axis=-1,
-    )
-    cols = jax.lax.dot_general(
-        flat,
-        jnp.asarray(_LOW_COLUMN_MATRIX),
-        (((flat.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(DTYPE)
-    out, _, _ = _carry_propagate(cols[..., :NLIMBS], NLIMBS)
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    cols_lo = _skew_diag_sums(lo)
+    cols_hi = _skew_diag_sums(hi)
+    cols = cols_lo[..., :NLIMBS]
+    cols = cols.at[..., 1:].add(cols_hi[..., : NLIMBS - 1])
+    out, _, _ = _carry_propagate(cols, NLIMBS)
     return out
 
 

@@ -51,9 +51,9 @@ def _digits_and_sort(curve: CurveSpec, scalars_mont, c: int):
     n = bits.shape[0]
     w = 256 // c
     weights = (jnp.uint32(1) << jnp.arange(c, dtype=jnp.uint32)).astype(jnp.int32)
-    digits = jnp.einsum(
-        "nwc,c->nw", bits.reshape(n, w, c).astype(jnp.int32), weights
-    )  # (N, W)
+    digits = jnp.sum(
+        bits.reshape(n, w, c).astype(jnp.int32) * weights[None, None, :],
+        axis=-1)  # (N, W) — integer ops only (TPU float dots are inexact)
     digits_t = digits.T  # (W, N)
     perm = jnp.argsort(digits_t, axis=-1, stable=True)
     sorted_digits = jnp.take_along_axis(digits_t, perm, axis=-1)

@@ -55,14 +55,16 @@ def main():
             s = 1 << (s - 1).bit_length()
             out = msm_mod._bucket_phase(
                 curve, pts, sorted_digits, (perm, ranks), c, s)
-            out.x.block_until_ready()  # compile + warm
+            # a small readback is the only reliable completion barrier on the
+            # relayed TPU backend (block_until_ready returns early there)
+            np.asarray(out.x)  # compile + warm
             t0 = time.time()
             for _ in range(reps_n):
                 sorted_digits, perm, ranks, _ = msm_mod._digits_and_sort(
                     curve, scalars, c)
                 out = msm_mod._bucket_phase(
                     curve, pts, sorted_digits, (perm, ranks), c, s)
-            out.x.block_until_ready()
+                np.asarray(out.x)
             dt = (time.time() - t0) / reps_n
         return n_pts / dt
 

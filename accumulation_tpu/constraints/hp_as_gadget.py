@@ -47,12 +47,32 @@ def _alloc_point(g: GadgetCS, curve: CurveSpec, pt_affine, public=False
 
 
 def _absorb_point(sponge: SpongeGadget, g: GadgetCS, pt: PointVar):
-    """Native spec absorbs [x, y, inf?1:0] with (0,0,1) for infinity; with
-    projective z in {0,1}: [x*z, y*z, 1-z]."""
-    xz = pt.x * pt.z
-    yz = pt.y * pt.z
-    inf = FpVar.constant(g, 1) - pt.z
-    sponge.absorb([xz, yz, inf])
+    """Native spec absorbs [x_affine, y_affine, inf?1:0] ((0,0,1) at inf).
+
+    The point may be a *computed* projective var (arbitrary z), so allocate
+    the affine representation and enforce consistency:
+      is_inf boolean;  is_inf * z = 0;
+      ax*z = x - x*is_inf;  ay*z = y - y*is_inf;   ax*is_inf = ay*is_inf = 0.
+    A finite point with is_inf=1 contradicts is_inf*z=0; a point at infinity
+    ((0:1:0)) with is_inf=0 forces 1 = ay*0 — unsatisfiable.  Sound for both
+    allocated and computed points."""
+    p = g.p
+    z_val = pt.z.value
+    if z_val == 0:
+        ax_v, ay_v, inf_v = 0, 0, 1
+    else:
+        zinv = pow(z_val, -1, p)
+        ax_v, ay_v, inf_v = pt.x.value * zinv % p, pt.y.value * zinv % p, 0
+    from .gadgets import BoolVar
+    is_inf = BoolVar.witness(g, inf_v)
+    ax = FpVar.witness(g, ax_v)
+    ay = FpVar.witness(g, ay_v)
+    (is_inf.var * pt.z).enforce_zero()
+    (ax * pt.z + pt.x * is_inf.var - pt.x).enforce_zero()
+    (ay * pt.z + pt.y * is_inf.var - pt.y).enforce_zero()
+    (ax * is_inf.var).enforce_zero()
+    (ay * is_inf.var).enforce_zero()
+    sponge.absorb([ax, ay, is_inf.var])
 
 
 class HpInstanceVar:
@@ -97,8 +117,11 @@ class ASForHPVerifierGadget:
                input_instances: List[HpInstanceVar],
                old_accumulator_instances: List[HpInstanceVar],
                new_accumulator_instance: HpInstanceVar,
-               proof: HpProofVar):
-        """Synthesises the verify relation; enforces success."""
+               proof: HpProofVar, sponge: Optional[SpongeGadget] = None):
+        """Synthesises the verify relation; enforces success.
+
+        `sponge` may be pre-seeded (domain-forked) by a composing gadget
+        (r1cs_nark_as), mirroring the native optional-sponge parameter."""
         b3 = self.b3
         make_zk = proof.hiding is not None
         all_instances = input_instances + old_accumulator_instances
@@ -106,7 +129,8 @@ class ASForHPVerifierGadget:
         assert len(proof.low) == m - 1 and len(proof.high) == m - 1
 
         # Fiat-Shamir round 1 (reference gadget mod.rs:70-128)
-        sponge = SpongeGadget(g)
+        if sponge is None:
+            sponge = SpongeGadget(g)
         sponge.absorb_u64(vk_vec_len)
         for inst in all_instances:
             inst.absorb_into(sponge, g)

@@ -95,14 +95,27 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     py = jnp.concatenate([points.y, jnp.zeros((1, NLIMBS), DTYPE)], axis=0)
     pinf = jnp.concatenate([points.inf, jnp.ones((1,), bool)], axis=0)
 
-    # --- slot sweep: S steps of (W * 2^c)-wide mixed adds -------------------
-    def body(acc, t):
-        idx = slots[:, :, t]
-        q = Affine(px[idx], py[idx], pinf[idx])
-        return wst.jac_add_affine(curve, acc, q), None
+    # Slot-major layout (t leading) so each sweep step gathers a contiguous
+    # (chunk, W, 2^c) block; chunking amortises gather overhead while keeping
+    # the materialised working set bounded (a full pre-gather would be
+    # S * W * 2^c * 192 B — gigabytes at large N).
+    slots_t = jnp.transpose(slots, (2, 0, 1))  # (S, W, 2^c)
+    chunk = min(s, 8)
+    assert s % chunk == 0
+    slots_c = slots_t.reshape(s // chunk, chunk, w, nb)
+
+    def body(acc, idx_block):
+        qx = px[idx_block]      # (chunk, W, 2^c, L)
+        qy = py[idx_block]
+        qinf = pinf[idx_block]
+        for t in range(chunk):
+            acc = wst.jac_add_affine(
+                curve, acc, Affine(qx[t], qy[t], qinf[t]))
+        return acc, None
 
     init = wst.jacobian_zero(curve, (w, nb))
-    buckets, _ = jax.lax.scan(body, init, jnp.arange(s)) if s > 0 else (init, None)
+    buckets, _ = (jax.lax.scan(body, init, slots_c)
+                  if s > 0 else (init, None))
 
     # --- per-window weighted bucket aggregation -----------------------------
     # sum_{v>=1} v*B_v via the running/total trick, scanning buckets from the

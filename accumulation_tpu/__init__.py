@@ -14,10 +14,18 @@ import jax as _jax
 
 # Persistent XLA compilation cache: the limb-tensor kernels produce sizeable
 # HLO per unique shape; caching compiles across processes keeps test/bench
-# startup fast on both the CPU and the (remote-compiled) TPU backend.
+# startup fast.  The directory is keyed by the platform/flags config:
+# XLA:CPU AOT entries reloaded across processes with different backend
+# configs can carry mismatched machine features (observed SIGSEGV), so each
+# config gets its own consistent cache.
+import hashlib as _hashlib
+
+_cfg = (_os.environ.get("JAX_PLATFORMS", "") + "|"
+        + _os.environ.get("XLA_FLAGS", ""))
+_key = _hashlib.blake2b(_cfg.encode(), digest_size=6).hexdigest()
 _cache_dir = _os.environ.get(
     "ACCUMULATION_TPU_XLA_CACHE",
-    _os.path.expanduser("~/.cache/accumulation_tpu_xla"),
+    _os.path.expanduser(f"~/.cache/accumulation_tpu_xla-{_key}"),
 )
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -1,1 +1,1 @@
-
+from . import sponge_device, hp_prove_fused

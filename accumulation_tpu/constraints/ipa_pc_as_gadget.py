@@ -288,6 +288,30 @@ class ASForIpaPCVerifierGadget:
         nn.enforce_relation(g, r, mul_terms, lin_terms)
 
 
+def costs_breakdown(curve: CurveSpec, vk: ipa_pc_as.VerifierKey,
+                    input_instances, old_accumulator_instances,
+                    new_accumulator_instance, proof) -> dict:
+    """Constraint-cost profile (print_costs_breakdown analog)."""
+    g = GadgetCS(curve.fq)
+    gadget = ASForIpaPCVerifierGadget(curve, vk.ipa_svk, vk.ipa_ck_linear)
+    counts = {}
+    base = g.num_constraints
+    inputs = [IpaInstanceVar(g, curve, i) for i in input_instances]
+    counts["input_instances"] = g.num_constraints - base
+    base = g.num_constraints
+    olds = [IpaInstanceVar(g, curve, a) for a in old_accumulator_instances]
+    counts["old_accumulators"] = g.num_constraints - base
+    base = g.num_constraints
+    new = IpaInstanceVar(g, curve, new_accumulator_instance, public=True,
+                         with_proof=False)
+    counts["new_accumulator"] = g.num_constraints - base
+    base = g.num_constraints
+    gadget.verify(g, inputs, olds, new, proof, None)
+    counts["verify"] = g.num_constraints - base
+    counts["total"] = g.num_constraints
+    return counts
+
+
 def synthesize_and_check(curve: CurveSpec, vk: ipa_pc_as.VerifierKey,
                          input_instances, old_accumulator_instances,
                          new_accumulator_instance, proof) -> bool:

@@ -27,9 +27,15 @@ _cache_dir = _os.environ.get(
     "ACCUMULATION_TPU_XLA_CACHE",
     _os.path.expanduser(f"~/.cache/accumulation_tpu_xla-{_key}"),
 )
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-except Exception:  # pragma: no cover - older jax without these flags
-    pass
+# XLA:CPU executable serialisation has segfaulted writing cache entries for
+# some of the large limb-kernel graphs, so the persistent cache stays off for
+# the CPU test backend (one pytest process amortises compiles in-memory);
+# the remote-compiled TPU backend depends on it and keeps it on.
+_on_cpu = "cpu" in _os.environ.get("JAX_PLATFORMS", "")
+if not _on_cpu or _os.environ.get("ACCUM_TPU_FORCE_CACHE") == "1":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    except Exception:  # pragma: no cover - older jax without these flags
+        pass

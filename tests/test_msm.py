@@ -14,14 +14,11 @@ N = 300
 
 @pytest.fixture(scope="module")
 def points():
-    rng = np.random.default_rng(7)
-    g = wst.generator(C)
-    gj = wst.from_affine(C, g)
-    ks = fp.random_elements(C.fr, rng, (N,))
-    gjb = wst.Projective(
-        jnp.broadcast_to(gj.x, (N, 16)), jnp.broadcast_to(gj.y, (N, 16)),
-        jnp.broadcast_to(gj.z, (N, 16)))
-    return wst.to_affine(C, wst.scalar_mul(C, gjb, ks))
+    # hash-to-curve sampling (same path as Pedersen setup); avoids compiling
+    # a batched scalar_mul graph here — XLA:CPU has segfaulted compiling it
+    # late in a long test session
+    from accumulation_tpu.pc.pedersen import _sample_points
+    return _sample_points(C, N, b"test-msm-points")
 
 
 @pytest.mark.parametrize("c", [4, 8])

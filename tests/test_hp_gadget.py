@@ -74,3 +74,19 @@ def test_costs_breakdown(setup, rng):
     assert counts["verify"] > 0
     assert counts["total"] == sum(
         v for k, v in counts.items() if k != "total")
+
+
+def test_generic_verifier_registry(setup, rng):
+    """The uniform L6 entry point (reference ASVerifierGadget trait role)."""
+    from accumulation_tpu.constraints import verifier
+    curve, scheme, keys = setup
+    gen = make_input_gen(curve, keys[0], rng, False)
+    inputs = gen(1)
+    acc, proof = scheme.prove(keys[0], inputs, [], None)
+    assert verifier.synthesize_and_check(
+        "hp_as", curve, keys[1], [i.instance for i in inputs], [],
+        acc.instance, proof)
+    counts = verifier.print_costs_breakdown(
+        "hp_as", curve, keys[1], [i.instance for i in inputs], [],
+        acc.instance, proof)
+    assert counts["total"] > 0

@@ -100,7 +100,7 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     # the materialised working set bounded (a full pre-gather would be
     # S * W * 2^c * 192 B — gigabytes at large N).
     slots_t = jnp.transpose(slots, (2, 0, 1))  # (S, W, 2^c)
-    chunk = min(s, 8)
+    chunk = min(s, 16)
     assert s % chunk == 0
     slots_c = slots_t.reshape(s // chunk, chunk, w, nb)
 
@@ -119,31 +119,55 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
 
     # --- per-window weighted bucket aggregation -----------------------------
     # sum_{v>=1} v*B_v via the running/total trick, scanning buckets from the
-    # top: running += B_v; total += running.  One scan, two adds per step —
-    # compile-light; the W-wide lanes keep each step vectorised.
-    def agg_body(carry, v):
+    # top: running += B_v; total += running.  The inner unroll packs several
+    # buckets per scan step — the narrow (W-wide) steps are launch-latency
+    # bound on TPU, so fewer/fatter steps win.
+    AGG_UNROLL = 8
+    n_agg = nb - 1
+    pad_agg = (-n_agg) % AGG_UNROLL
+    # process buckets nb-1 .. 1; pad with zero-bucket indices (bucket 0 is
+    # the identity by construction, so extra adds of B_0 are no-ops)
+    order = jnp.concatenate(
+        [jnp.arange(nb - 1, 0, -1), jnp.zeros((pad_agg,), jnp.int32)])
+    order = order.reshape(-1, AGG_UNROLL)
+
+    def agg_body(carry, vs):
         running, total = carry
-        bv = Jacobian(buckets.x[:, v], buckets.y[:, v], buckets.z[:, v])
-        running = wst.jac_add(curve, running, bv)
-        total = wst.jac_add(curve, total, running)
+        for t in range(AGG_UNROLL):
+            v = vs[t]
+            valid = jnp.broadcast_to(v > 0, (w,))  # padded steps are no-ops
+            bv = Jacobian(buckets.x[:, v], buckets.y[:, v], buckets.z[:, v])
+            running = wst._where_pt(
+                valid, wst.jac_add(curve, running, bv), running)
+            total = wst._where_pt(
+                valid, wst.jac_add(curve, total, running), total)
         return (running, total), None
 
     init_agg = (wst.jacobian_zero(curve, (w,)), wst.jacobian_zero(curve, (w,)))
-    (_, window_sums), _ = jax.lax.scan(
-        agg_body, init_agg, jnp.arange(nb - 1, 0, -1)
-    )
+    (_, window_sums), _ = jax.lax.scan(agg_body, init_agg, order)
 
-    # --- Horner combine over windows (top window first) ---------------------
-    def horner(acc, wi):
-        def dbl(a, _):
-            return wst.jac_double(curve, a), None
-        acc, _ = jax.lax.scan(dbl, acc, None, length=c)
-        pt = Jacobian(window_sums.x[wi], window_sums.y[wi], window_sums.z[wi])
-        return wst.jac_add(curve, acc, pt), None
+    # --- window combine: parallel-weighted, then log-depth tree -------------
+    # result = sum_w 2^{c w} S_w.  Doubling chains run batched across all W
+    # windows at once with per-window masks (window w doubles c*w times),
+    # then one tree reduction — O(c*W) doublings of W-wide lanes in
+    # ceil(c*W / UNROLL) steps instead of per-window sequential Horner.
+    total_dbl = c * (w - 1)
+    DBL_UNROLL = 8
+    win_idx = jnp.arange(w)
 
-    acc, _ = jax.lax.scan(horner, wst.jacobian_zero(curve, ()),
-                          jnp.arange(w - 1, -1, -1))
-    return acc
+    def dbl_body(acc, i_base):
+        for t in range(DBL_UNROLL):
+            i = i_base + t
+            mask = i < (c * win_idx)
+            doubled = wst.jac_double(curve, acc)
+            acc = wst._where_pt(mask, doubled, acc)
+        return acc, None
+
+    n_dbl_steps = (total_dbl + DBL_UNROLL - 1) // DBL_UNROLL
+    acc, _ = jax.lax.scan(
+        dbl_body, window_sums,
+        jnp.arange(n_dbl_steps) * DBL_UNROLL)
+    return wst._tree_reduce(curve, acc)
 
 
 def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobian:

@@ -30,10 +30,13 @@ from . import r1cs
 
 
 class GadgetCS:
-    """Wraps a ConstraintSystem with value tracking for synthesis."""
+    """Wraps a ConstraintSystem with value tracking for synthesis.
 
-    def __init__(self, spec: FieldSpec):
-        self.cs = r1cs.ConstraintSystem(spec, r1cs.PROVE)
+    Pass `cs` to synthesise into an existing system (e.g. to prove a
+    verifier gadget with the NARK — the PCD recursion composition)."""
+
+    def __init__(self, spec: FieldSpec, cs: r1cs.ConstraintSystem = None):
+        self.cs = cs if cs is not None else r1cs.ConstraintSystem(spec, r1cs.PROVE)
         self.spec = spec
         self.p = spec.modulus
 

@@ -146,19 +146,21 @@ def _wide_cols(a, b):
 # ---------------------------------------------------------------------------
 
 
-@_fjit
-def add(es: F32Spec, a, b):
+def _add_raw(es: F32Spec, a, b):
     s, carry = _carry(a + b)
     # a + b < 2p < 2^256 << 2^261, carry-out 0
     return _cond_sub_p(es, s)
 
 
-@_fjit
-def sub(es: F32Spec, a, b):
+def _sub_raw(es: F32Spec, a, b):
     diff, borrow = _sub_borrow(a, b)
     p = jnp.asarray(es.p_limbs)
     readd, _ = _carry(diff + jnp.broadcast_to(p, diff.shape))
     return jnp.where((borrow == 1)[..., None], readd, diff)
+
+
+add = _fjit(_add_raw)
+sub = _fjit(_sub_raw)
 
 
 def _mul_raw(es: F32Spec, a, b):

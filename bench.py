@@ -36,6 +36,7 @@ def main():
     from accumulation_tpu.curves import PALLAS, weierstrass as wst
     from accumulation_tpu.fields import fp
     from accumulation_tpu.ops import msm as msm_mod
+    from accumulation_tpu.ops import msm_lanes
     from accumulation_tpu.pc.pedersen import _sample_points
 
     curve = PALLAS
@@ -44,7 +45,12 @@ def main():
     c = int(os.environ.get("BENCH_WINDOW_C", 8))
     rng = np.random.default_rng(0)
 
-    def run_msm(device, n_pts, reps_n):
+    def run_msm(device, n_pts, reps_n, lanes: bool):
+        # lanes=True: lane-major engine (limb axis in sublanes, batch in VPU
+        # lanes) — the fast TPU path; the CPU baseline stays on the standard
+        # layout (its giant unrolled graph compiles impractically on XLA:CPU).
+        bucket = (msm_lanes.bucket_phase_lanes if lanes
+                  else msm_mod._bucket_phase)
         with jax.default_device(device):
             pts = _sample_points(curve, n_pts, b"bench|" + str(n_pts).encode())
             scalars = fp.random_elements(curve.fr, rng, (n_pts,))
@@ -53,8 +59,7 @@ def main():
                 curve, scalars, c)
             s = max(64, 2 * n_pts // (1 << c))
             s = 1 << (s - 1).bit_length()
-            out = msm_mod._bucket_phase(
-                curve, pts, sorted_digits, (perm, ranks), c, s)
+            out = bucket(curve, pts, sorted_digits, (perm, ranks), c, s)
             # a small readback is the only reliable completion barrier on the
             # relayed TPU backend (block_until_ready returns early there)
             np.asarray(out.x)  # compile + warm
@@ -62,21 +67,21 @@ def main():
             for _ in range(reps_n):
                 sorted_digits, perm, ranks, _ = msm_mod._digits_and_sort(
                     curve, scalars, c)
-                out = msm_mod._bucket_phase(
-                    curve, pts, sorted_digits, (perm, ranks), c, s)
+                out = bucket(curve, pts, sorted_digits, (perm, ranks), c, s)
                 np.asarray(out.x)
             dt = (time.time() - t0) / reps_n
         return n_pts / dt
 
     tpu_dev = jax.devices()[0]
-    pps = run_msm(tpu_dev, n, reps)
+    use_lanes = os.environ.get("BENCH_LANES", "1") == "1"
+    pps = run_msm(tpu_dev, n, reps, lanes=use_lanes)
 
     vs_baseline = 0.0
     if os.environ.get("BENCH_SKIP_CPU") != "1":
         try:
             cpu = jax.devices("cpu")[0]
             n_cpu = int(os.environ.get("BENCH_N_CPU", 1 << 12))
-            cpu_pps = run_msm(cpu, n_cpu, 1)
+            cpu_pps = run_msm(cpu, n_cpu, 1, lanes=False)
             vs_baseline = pps / cpu_pps
         except Exception:
             vs_baseline = 0.0

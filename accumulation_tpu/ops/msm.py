@@ -37,6 +37,16 @@ from ..fields.fp import NLIMBS, DTYPE
 
 SMALL_N_THRESHOLD = 96
 
+# Fat scan steps amortise per-step launch latency on TPU; on the XLA:CPU
+# test backend the unrolled bodies inflate compile time (and very large
+# graphs have segfaulted the CPU compiler late in long sessions), so the
+# unroll factors are platform-aware.
+import os as _os
+_ON_CPU = "cpu" in _os.environ.get("JAX_PLATFORMS", "")
+SWEEP_CHUNK = 2 if _ON_CPU else 16
+AGG_UNROLL_N = 1 if _ON_CPU else 8
+DBL_UNROLL_N = 1 if _ON_CPU else 8
+
 
 def _pick_c(n: int) -> int:
     if n >= 1 << 16:
@@ -67,10 +77,16 @@ def _digits_and_sort(curve: CurveSpec, scalars_mont, c: int):
     return sorted_digits, perm, ranks, max_count
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
-                  c: int, s: int) -> Jacobian:
-    """Builds the slot matrix and returns the full MSM result."""
+                  c: int, s: int, unrolls=None) -> Jacobian:
+    """Builds the slot matrix and returns the full MSM result.
+
+    unrolls: optional (sweep_chunk, agg_unroll, dbl_unroll) static override
+    (e.g. the bench's CPU baseline forces the thin variant)."""
+    sweep_chunk, agg_unroll_n, dbl_unroll_n = (
+        unrolls if unrolls is not None
+        else (SWEEP_CHUNK, AGG_UNROLL_N, DBL_UNROLL_N))
     perm, ranks = perm_ranks
     w = 256 // c
     nb = 1 << c
@@ -100,7 +116,7 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     # the materialised working set bounded (a full pre-gather would be
     # S * W * 2^c * 192 B — gigabytes at large N).
     slots_t = jnp.transpose(slots, (2, 0, 1))  # (S, W, 2^c)
-    chunk = min(s, 16)
+    chunk = min(s, sweep_chunk)
     assert s % chunk == 0
     slots_c = slots_t.reshape(s // chunk, chunk, w, nb)
 
@@ -122,7 +138,7 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     # top: running += B_v; total += running.  The inner unroll packs several
     # buckets per scan step — the narrow (W-wide) steps are launch-latency
     # bound on TPU, so fewer/fatter steps win.
-    AGG_UNROLL = 8
+    AGG_UNROLL = agg_unroll_n
     n_agg = nb - 1
     pad_agg = (-n_agg) % AGG_UNROLL
     # process buckets nb-1 .. 1; pad with zero-bucket indices (bucket 0 is
@@ -152,7 +168,7 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     # then one tree reduction — O(c*W) doublings of W-wide lanes in
     # ceil(c*W / UNROLL) steps instead of per-window sequential Horner.
     total_dbl = c * (w - 1)
-    DBL_UNROLL = 8
+    DBL_UNROLL = dbl_unroll_n
     win_idx = jnp.arange(w)
 
     def dbl_body(acc, i_base):

@@ -13,6 +13,7 @@ Env knobs: BENCH_N (default 2^16), BENCH_REPS (3), BENCH_WINDOW_C (8),
 BENCH_SKIP_CPU=1, BENCH_N_CPU (default 2^12).
 """
 
+import functools
 import json
 import os
 import sys
@@ -49,8 +50,12 @@ def main():
         # lanes=True: lane-major engine (limb axis in sublanes, batch in VPU
         # lanes) — the fast TPU path; the CPU baseline stays on the standard
         # layout (its giant unrolled graph compiles impractically on XLA:CPU).
-        bucket = (msm_lanes.bucket_phase_lanes if lanes
-                  else msm_mod._bucket_phase)
+        if lanes:
+            bucket = msm_lanes.bucket_phase_lanes
+        else:
+            # thin unrolls: XLA:CPU takes ~1h on the fat TPU-shaped graph
+            bucket = functools.partial(
+                msm_mod._bucket_phase, unrolls=(2, 1, 1))
         with jax.default_device(device):
             pts = _sample_points(curve, n_pts, b"bench|" + str(n_pts).encode())
             scalars = fp.random_elements(curve.fr, rng, (n_pts,))

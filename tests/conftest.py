@@ -10,9 +10,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU's parallel LLVM codegen has segfaulted on large late-session
+# compiles (cumulative JIT state); single-threaded codegen is sturdier.
+if "xla_cpu_parallel_codegen_split_count" not in _flags:
+    _flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 import jax
 

@@ -169,14 +169,36 @@ class BoolVar:
         return self.var * (if_true - if_false) + if_false
 
 
-def bit_decompose(g: GadgetCS, x: FpVar, nbits: int = 255) -> List[BoolVar]:
-    """Allocate nbits booleans with sum(b_i 2^i) == x (nbits + 1 constraints).
+def enforce_bits_lt_constant(g: GadgetCS, bits: List[BoolVar], bound: int):
+    """Enforce that the LE bit vector encodes an integer strictly < bound.
 
-    Note: without a canonical range comparison against p this admits the
-    (x + p) representation for x < 2^nbits - p; the challenges derived from
-    the low 128 bits match the native transcript for honest witnesses, and a
-    full canonical check is the documented hardening step (roadmap).
-    """
+    MSB-down equality chain: `eq` stays 1 while the processed (more
+    significant) prefix equals bound's prefix.  Where bound's bit is 1,
+    eq' = eq * b (a 0 bit makes the value strictly smaller — eq drops to 0
+    permanently); where bound's bit is 0, enforce eq * b == 0 (a 1 bit under
+    an equal prefix would make the value larger).  Finally eq == 0 rejects
+    exact equality.  ~1 constraint per bit.  Mirrors the canonicity that the
+    reference gets for free from `squeeze_bits`
+    (/root/reference/src/hp_as/constraints/mod.rs:70-128)."""
+    eq = FpVar.constant(g, 1)
+    for i in reversed(range(len(bits))):
+        b = bits[i].var
+        if (bound >> i) & 1:
+            eq = eq * b
+        else:
+            g.cs.enforce_constraint(
+                r1cs.LinearCombination(list(eq.terms)),
+                r1cs.LinearCombination(list(b.terms)),
+                r1cs.LinearCombination([]))
+    eq.enforce_zero()
+
+
+def bit_decompose(g: GadgetCS, x: FpVar, nbits: int = 255,
+                  canonical: bool = True) -> List[BoolVar]:
+    """Allocate nbits booleans with sum(b_i 2^i) == x, and (by default) the
+    canonical range check sum(b_i 2^i) < p — without it the (x + p)
+    decomposition would let a malicious prover choose between two challenge
+    values per squeeze.  ~2*nbits constraints."""
     bits = []
     val = x.value
     for i in range(nbits):
@@ -185,6 +207,8 @@ def bit_decompose(g: GadgetCS, x: FpVar, nbits: int = 255) -> List[BoolVar]:
     for i, b in enumerate(bits):
         acc = acc + b.var.scale(pow(2, i, g.p))
     acc.enforce_equal(x)
+    if canonical:
+        enforce_bits_lt_constant(g, bits, g.p)
     return bits
 
 
@@ -306,6 +330,46 @@ class PointVar:
             return None
         zinv = pow(self.z.value, -1, p)
         return (self.x.value * zinv % p, self.y.value * zinv % p)
+
+
+def enforce_point_canonical(g: GadgetCS, pt: PointVar, curve_b: int):
+    """Canonical-representative + on-curve enforcement for an allocated point.
+
+    z in {0,1};  z=0 implies the point is exactly (0:1:0);  z=1 implies the
+    affine on-curve relation y^2 = x^3 + b.  Without this, the witness point
+    (0:0:0) is absorbing under the RCB15 add/double formulas and vacuously
+    passes `point_enforce_equal` against anything — allocating it for every
+    instance/proof point would break soundness of all four verifier gadgets.
+    RCB15 completeness guarantees that sums of canonical on-curve points
+    never *produce* (0:0:0), so enforcing at allocation suffices.
+    7 constraints."""
+    one = FpVar.constant(g, 1)
+    one_minus_z = one - pt.z
+    # z * (1 - z) == 0
+    g.cs.enforce_constraint(
+        r1cs.LinearCombination(list(pt.z.terms)),
+        r1cs.LinearCombination(list(one_minus_z.terms)),
+        r1cs.LinearCombination([]))
+    # (1 - z) * x == 0
+    g.cs.enforce_constraint(
+        r1cs.LinearCombination(list(one_minus_z.terms)),
+        r1cs.LinearCombination(list(pt.x.terms)),
+        r1cs.LinearCombination([]))
+    # (1 - z) * (y - 1) == 0
+    y_minus_1 = pt.y - one
+    g.cs.enforce_constraint(
+        r1cs.LinearCombination(list(one_minus_z.terms)),
+        r1cs.LinearCombination(list(y_minus_1.terms)),
+        r1cs.LinearCombination([]))
+    # y^2 * z == x^3 + b*z   (z boolean, so z^3 == z)
+    y2 = pt.y * pt.y
+    x2 = pt.x * pt.x
+    x3 = x2 * pt.x
+    rhs = x3 + pt.z.scale(curve_b)
+    g.cs.enforce_constraint(
+        r1cs.LinearCombination(list(y2.terms)),
+        r1cs.LinearCombination(list(pt.z.terms)),
+        r1cs.LinearCombination(list(rhs.terms)))
 
 
 def point_add(g: GadgetCS, p: PointVar, q: PointVar, b3: int) -> PointVar:

@@ -35,14 +35,13 @@ CHALLENGE_SIZE = hp_as.CHALLENGE_SIZE
 
 def _alloc_point(g: GadgetCS, curve: CurveSpec, pt_affine, public=False
                  ) -> PointVar:
-    """Allocate a host affine point ((x, y) ints or None) with z booleanity."""
+    """Allocate a host affine point ((x, y) ints or None) canonically:
+    z booleanity + z=0 -> exactly (0:1:0) + on-curve y^2 = x^3 + b.
+    (Without the canonical/on-curve part the absorbing point (0:0:0) would
+    satisfy every downstream relation — see gadgets.enforce_point_canonical.)
+    """
     var = PointVar.alloc(g, pt_affine, public=public)
-    # z in {0, 1}
-    one_minus = FpVar.constant(g, 1) - var.z
-    g.cs.enforce_constraint(
-        gadgets.r1cs.LinearCombination(list(var.z.terms)),
-        gadgets.r1cs.LinearCombination(list(one_minus.terms)),
-        gadgets.r1cs.LinearCombination([]))
+    gadgets.enforce_point_canonical(g, var, curve.b)
     return var
 
 

@@ -200,6 +200,9 @@ def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobi
         return wst.msm_bitserial(curve, points, scalars_mont)
     if c is None:
         c = _pick_c(n)
+    if 256 % c != 0:
+        raise ValueError(f"window size c={c} must divide 256 "
+                         "(a non-divisor would silently drop top scalar bits)")
     sorted_digits, perm, ranks, max_count = _digits_and_sort(
         curve, scalars_mont, c
     )

@@ -131,10 +131,14 @@ def where_l(cond, a: PL, b: PL) -> PL:
               jnp.where(c, a.z, b.z))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def bucket_phase_lanes(curve: CurveSpec, points: Affine, sorted_digits,
-                       perm_ranks, c: int, s: int):
-    """Lane-major bucket phase; returns a standard Projective (uint32)."""
+                       perm_ranks, c: int, s: int, stage: str = "full"):
+    """Lane-major bucket phase; returns a standard Projective (uint32).
+
+    stage: "sweep" returns after the slot sweep (bucket accumulators),
+    "agg" after per-window aggregation, "full" (default) the MSM result —
+    profiling hooks for attributing time across the three phases."""
     from ..curves.weierstrass import Projective
     perm, ranks = perm_ranks
     w = 256 // c
@@ -171,6 +175,10 @@ def bucket_phase_lanes(curve: CurveSpec, points: Affine, sorted_digits,
 
     init = zero_l(curve, (w, nb))
     buckets, _ = jax.lax.scan(body, init, slots_c)
+    if stage == "sweep":
+        return Projective(fl.from_lanes(buckets.x[:, 0]),
+                          fl.from_lanes(buckets.y[:, 0]),
+                          fl.from_lanes(buckets.z[:, 0]))
 
     AGG_UNROLL = 8
     pad_agg = (-(nb - 1)) % AGG_UNROLL
@@ -190,6 +198,10 @@ def bucket_phase_lanes(curve: CurveSpec, points: Affine, sorted_digits,
 
     init_agg = (zero_l(curve, (w,)), zero_l(curve, (w,)))
     (_, window_sums), _ = jax.lax.scan(agg_body, init_agg, order)
+    if stage == "agg":
+        return Projective(fl.from_lanes(window_sums.x),
+                          fl.from_lanes(window_sums.y),
+                          fl.from_lanes(window_sums.z))
 
     total_dbl = c * (w - 1)
     DBL_UNROLL = 8

@@ -62,6 +62,10 @@ class CommitterKey(NamedTuple):
     comm_key: Affine  # (n,) with n = supported_degree + 1
     h: Affine  # U base
     s: Affine  # hiding generator
+    # max hiding bound committed polynomials may carry (reference passes the
+    # predicate's supported_hiding_bound into IpaPC::trim,
+    # /root/reference/src/ipa_pc_as/mod.rs:507-513); -1 = no hiding support
+    supported_hiding_bound: int = -1
 
     @property
     def supported_degree(self) -> int:
@@ -138,14 +142,18 @@ def setup(curve: CurveSpec, max_degree: int) -> UniversalParams:
     return UniversalParams(pts)
 
 
-def trim(pp: UniversalParams, supported_degree: int) -> CommitterKey:
+def trim(pp: UniversalParams, supported_degree: int,
+         supported_hiding_bound: Optional[int] = None) -> CommitterKey:
     p = pp.points
     n = _round_pow2(supported_degree + 1)
     assert p.x.shape[0] >= n + 2
+    if supported_hiding_bound is None:
+        supported_hiding_bound = supported_degree
     return CommitterKey(
         Affine(p.x[:n], p.y[:n], p.inf[:n]),
         Affine(p.x[-2], p.y[-2], p.inf[-2]),
         Affine(p.x[-1], p.y[-1], p.inf[-1]),
+        supported_hiding_bound,
     )
 
 
@@ -282,6 +290,10 @@ def open(curve: CurveSpec, ck: CommitterKey, coeffs, comm: Affine, point,
     ph = omega_h = None
     if hiding:
         assert rng is not None
+        if ck.supported_hiding_bound < 0:
+            raise ValueError(
+                "hiding open requested but the committer key was trimmed "
+                "without hiding support (supported_hiding_bound < 0)")
         # p_h = (X - z) q, so p_h(z) = 0 and the claimed value is unchanged.
         q = fp.random_elements(fr, rng, (n - 1,)) if n > 1 else None
         if q is not None:
@@ -372,6 +384,15 @@ def succinct_check(curve: CurveSpec, svk: SuccinctVerifierKey, comm: Affine,
     fr = curve.fr
     sponge = sponge or domain_sponge(curve.fq, IPA_PC_DOMAIN)
     from ..schemes import common as scommon
+
+    # Fixed-round structure: the round count is determined by the committer
+    # key length (a power of two), not by the proof — a shorter l_vec would
+    # otherwise be silently accepted as a lower-degree claim, weakening
+    # degree-bound enforcement.
+    k_expected = (svk.supported_degree + 1).bit_length() - 1
+    if (proof.l_vec.x.shape[0] != k_expected
+            or proof.r_vec.x.shape[0] != k_expected):
+        return None
 
     comm_p, xi0_int, _, _ = _round0(
         curve, sponge, comm, point, value, proof.hiding_comm,

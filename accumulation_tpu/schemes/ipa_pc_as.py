@@ -100,13 +100,17 @@ class AtomicASForInnerProductArgPC(AtomicAccumulationScheme):
     def index(self, public_params, predicate_params: ipa_pc.UniversalParams,
               predicate_index: PredicateIndex):
         curve = self.curve
-        ipa_ck = ipa_pc.trim(predicate_params, predicate_index.supported_degree_bound)
+        # both bounds reach trim, as in the reference (mod.rs:507-513); the
+        # linear key is trimmed with hiding bound 0 (mod.rs:536-537)
+        ipa_ck = ipa_pc.trim(predicate_params,
+                             predicate_index.supported_degree_bound,
+                             predicate_index.supported_hiding_bound)
         # default proof for the zero polynomial (used when accumulating with
         # no inputs; reference mod.rs:515-534)
         default_proof = ipa_pc.open(
             curve, ipa_ck, jnp.zeros((1, NLIMBS), DTYPE),
             wst.affine_zero(curve, ()), jnp.zeros((NLIMBS,), DTYPE))
-        ipa_ck_linear = ipa_pc.trim(predicate_params, 1)
+        ipa_ck_linear = ipa_pc.trim(predicate_params, 1, 0)
         vk = VerifierKey(ipa_pc.svk_of(ipa_ck), ipa_ck_linear, default_proof)
         pk = ProverKey(ipa_ck, vk)
         dk = ipa_ck

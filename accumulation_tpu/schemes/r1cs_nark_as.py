@@ -60,6 +60,13 @@ class VerifierKey:
     nark_matrices_hash: bytes
     as_matrices_hash: bytes
 
+    @staticmethod
+    def placeholder(input_len: int) -> "VerifierKey":
+        """PCD-circuit-setup placeholder: only the public-input length must
+        be correct, everything else may stay unknown (reference
+        data_structures.rs:67-78)."""
+        return VerifierKey(input_len, 0, b"\x00" * 32, b"\x00" * 32)
+
 
 @dataclass
 class InputInstance:
@@ -100,6 +107,16 @@ class AccumulatorInstance:
             common.absorb_affine(sponge, curve, c)
         self.hp_instance.absorb_into(curve, sponge)
 
+    @staticmethod
+    def placeholder(curve: CurveSpec, input_len: int) -> "AccumulatorInstance":
+        """PCD-circuit-setup placeholder (reference
+        data_structures.rs:174-183): zero input vector, identity commitments,
+        zero hp instance."""
+        z = wst.affine_zero(curve, ())
+        return AccumulatorInstance(
+            common.fr_zeros((input_len,)), z, z, z,
+            hp_as.InputInstance.zero(curve))
+
 
 @dataclass
 class AccumulatorWitnessRandomness:
@@ -137,6 +154,30 @@ class Proof:
 
     hp_proof: hp_as.Proof
     randomness: Optional[ProofRandomness] = None
+
+    @staticmethod
+    def placeholder(curve: CurveSpec, r1cs_input_len: int,
+                    num_accumulators_and_inputs: int,
+                    make_zk: bool) -> "Proof":
+        """PCD-circuit-setup placeholder with the shapes a real proof would
+        have for the given input count (reference
+        data_structures.rs:259-325): m-1 low/high t-vec commitments, where m
+        accounts for the zero-input default and the zk dummy input."""
+        randomness = None
+        if make_zk:
+            z = wst.affine_zero(curve, ())
+            randomness = ProofRandomness(
+                common.fr_zeros((r1cs_input_len,)), z, z, z)
+        num_inputs = max(num_accumulators_and_inputs, 1)
+        if num_inputs == 1 and make_zk:
+            num_inputs += 1
+        zvec = wst.affine_zero(curve, (num_inputs - 1,))
+        hiding = None
+        if make_zk:
+            z = wst.affine_zero(curve, ())
+            hiding = hp_as.ProofHidingCommitments(z, z, z)
+        hp_proof = hp_as.Proof(zvec, zvec, hiding)
+        return Proof(hp_proof, randomness)
 
 
 class ASForR1CSNark(AccumulationScheme):

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import fp
-from .fp import FieldSpec
+from accumulation_tpu.fields import fp
+from accumulation_tpu.fields.fp import FieldSpec
 
 LIMB_BITS = 9
 NLIMBS = 29  # 29 * 9 = 261 bits

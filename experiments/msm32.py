@@ -15,9 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..curves.weierstrass import Affine, CurveSpec
-from ..fields import fp, fp32
-from ..fields.fp32 import F32Spec, NLIMBS as NL32, DTYPE as F32
+from accumulation_tpu.curves.weierstrass import Affine, CurveSpec
+from accumulation_tpu.fields import fp
+import fp32
+from fp32 import F32Spec, NLIMBS as NL32, DTYPE as F32
 
 # ---------------------------------------------------------------------------
 # f32 projective point kernels (complete RCB15 formulas, a = 0)
@@ -161,7 +162,7 @@ def affine_to_f32(curve: CurveSpec, pts: Affine) -> A32:
 
 @functools.partial(jax.jit, static_argnums=0)
 def proj_to_uint32(curve: CurveSpec, pt: P32):
-    from ..curves.weierstrass import Projective
+    from accumulation_tpu.curves.weierstrass import Projective
     es, _, _ = _consts(curve)
     return Projective(fp32.to_uint32(es, pt.x), fp32.to_uint32(es, pt.y),
                       fp32.to_uint32(es, pt.z))
@@ -266,7 +267,7 @@ def msm32(curve: CurveSpec, points: Affine, scalars_mont, c: int = 8):
         curve, scalars_mont, c)
     s = int(max_count)
     if s == 0:
-        from ..curves import weierstrass as wst
+        from accumulation_tpu.curves import weierstrass as wst
         return wst.jacobian_zero(curve, ())
     s = min(1 << (s - 1).bit_length(), points.x.shape[0])
     s = max(s, 16)

@@ -3,7 +3,10 @@
 import numpy as np
 import pytest
 
-from accumulation_tpu.fields import fp, fp32
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from accumulation_tpu.fields import fp
+import fp32
 from accumulation_tpu.fields.pasta import FQ
 
 ES = fp32.make_f32(FQ)

@@ -57,13 +57,13 @@ class SparseMatrix:
         k = max((len(row) for row in self.rows), default=0)
         k = max(k, 1)
         idx = np.full((r, k), num_vars, dtype=np.int32)  # sentinel -> zero
-        coeff = np.zeros((r, k, NLIMBS), dtype=np.uint32)
+        coeff = np.zeros((r, k, self.spec.nlimbs), dtype=np.uint32)
         mont = self.spec.r_mod_p
         p = self.spec.modulus
         for i, row in enumerate(self.rows):
             for j, (c, v) in enumerate(row):
                 idx[i, j] = v
-                coeff[i, j] = fp.int_to_limbs((c % p) * mont % p)
+                coeff[i, j] = fp.int_to_limbs((c % p) * mont % p, self.spec.nlimbs)
         return jnp.asarray(idx), jnp.asarray(coeff)
 
     def serialize(self) -> bytes:
@@ -113,7 +113,8 @@ def matrix_vec_mul(spec: FieldSpec, ell, input_arr, witness_arr):
     """
     idx, coeff = ell
     z = jnp.concatenate(
-        [input_arr, witness_arr, jnp.zeros((1, NLIMBS), DTYPE)], axis=0)
+        [input_arr, witness_arr,
+         jnp.zeros((1, input_arr.shape[-1]), DTYPE)], axis=0)
     return _ell_matvec(spec, idx, coeff, z)
 
 

@@ -54,18 +54,23 @@ class CurveSpec:
     b: int
     gen_x: int
     gen_y: int
+    # |E(Fq)| = cofactor * fr.modulus.  Hash-to-curve sampling must multiply
+    # by the cofactor to land in the prime-order subgroup (BLS12-381 G1 has
+    # h ~ 2^126; the Pasta curves have h = 1).
+    cofactor: int = 1
     b_mont: np.ndarray = field(default=None, repr=False)
     b3_mont: np.ndarray = field(default=None, repr=False)  # 3*b
 
 
 @functools.lru_cache(maxsize=None)
-def make_curve(name, fq, fr, b, gen_x, gen_y) -> CurveSpec:
+def make_curve(name, fq, fr, b, gen_x, gen_y, cofactor=1) -> CurveSpec:
     r = fq.r_mod_p
     q = fq.modulus
     return CurveSpec(
         name=name, fq=fq, fr=fr, b=b, gen_x=gen_x, gen_y=gen_y,
-        b_mont=np.asarray(fp.int_to_limbs((b % q) * r % q)),
-        b3_mont=np.asarray(fp.int_to_limbs((3 * b % q) * r % q)),
+        cofactor=cofactor,
+        b_mont=np.asarray(fp.int_to_limbs((b % q) * r % q, fq.nlimbs)),
+        b3_mont=np.asarray(fp.int_to_limbs((3 * b % q) * r % q, fq.nlimbs)),
     )
 
 
@@ -79,15 +84,16 @@ def _cjit(fn):
 
 
 def affine_zero(curve: CurveSpec, shape=()) -> Affine:
-    z = jnp.zeros(shape + (NLIMBS,), DTYPE)
+    z = jnp.zeros(shape + (curve.fq.nlimbs,), DTYPE)
     return Affine(z, z, jnp.ones(shape, bool))
 
 
 def jacobian_zero(curve: CurveSpec, shape=()) -> Projective:
     """The identity (0 : 1 : 0), batched."""
-    z = jnp.zeros(shape + (NLIMBS,), DTYPE)
-    one = jnp.broadcast_to(jnp.asarray(curve.fq.one_mont, DTYPE), shape + (NLIMBS,))
-    return Projective(z, one, jnp.zeros(shape + (NLIMBS,), DTYPE))
+    nl = curve.fq.nlimbs
+    z = jnp.zeros(shape + (nl,), DTYPE)
+    one = jnp.broadcast_to(jnp.asarray(curve.fq.one_mont, DTYPE), shape + (nl,))
+    return Projective(z, one, jnp.zeros(shape + (nl,), DTYPE))
 
 
 projective_zero = jacobian_zero
@@ -103,15 +109,16 @@ def generator(curve: CurveSpec) -> Affine:
 def affine_from_ints(curve: CurveSpec, pts) -> Affine:
     """[(x, y) or None] -> batched Affine (None = infinity)."""
     n = len(pts)
-    xs = np.zeros((n, NLIMBS), np.uint32)
-    ys = np.zeros((n, NLIMBS), np.uint32)
+    nl = curve.fq.nlimbs
+    xs = np.zeros((n, nl), np.uint32)
+    ys = np.zeros((n, nl), np.uint32)
     inf = np.zeros((n,), bool)
     for i, pt in enumerate(pts):
         if pt is None:
             inf[i] = True
         else:
-            xs[i] = fp.int_to_limbs(pt[0] % curve.fq.modulus)
-            ys[i] = fp.int_to_limbs(pt[1] % curve.fq.modulus)
+            xs[i] = fp.int_to_limbs(pt[0] % curve.fq.modulus, nl)
+            ys[i] = fp.int_to_limbs(pt[1] % curve.fq.modulus, nl)
     return Affine(
         fp.to_mont(curve.fq, jnp.asarray(xs)),
         fp.to_mont(curve.fq, jnp.asarray(ys)),
@@ -142,7 +149,8 @@ def to_affine(curve: CurveSpec, p: Projective) -> Affine:
     reference src/hp_as/mod.rs:468): one batched inversion for all points."""
     f = curve.fq
     shape = p.z.shape[:-1]
-    z_flat = p.z.reshape((-1, NLIMBS)) if shape else p.z.reshape((1, NLIMBS))
+    nl = p.z.shape[-1]
+    z_flat = p.z.reshape((-1, nl)) if shape else p.z.reshape((1, nl))
     zinv = fp.batch_inverse(f, z_flat).reshape(p.z.shape)
     x = fp.mul(f, p.x, zinv)
     y = fp.mul(f, p.y, zinv)
@@ -313,6 +321,24 @@ def scalar_mul(curve: CurveSpec, p: Projective, scalar_mont) -> Projective:
 
     init = jacobian_zero(curve, p.z.shape[:-1])
     acc, _ = jax.lax.scan(body, init, jnp.arange(nbits))
+    return acc
+
+
+def scalar_mul_int(curve: CurveSpec, p: Projective, k: int) -> Projective:
+    """Multiply by a fixed (static) python integer, batched double-and-add.
+
+    Used for cofactor clearing after hash-to-curve sampling (k = the curve's
+    cofactor, an integer NOT reduced mod fr)."""
+    if k == 0:
+        return jacobian_zero(curve, p.z.shape[:-1])
+    bits = jnp.asarray([int(b) for b in bin(k)[2:]], jnp.uint32)
+
+    def body(acc, bit):
+        acc = _dbl_raw(curve, acc)
+        added = _add_raw(curve, acc, p)
+        return _where_pt(bit == 1, added, acc), None
+
+    acc, _ = jax.lax.scan(body, jacobian_zero(curve, p.z.shape[:-1]), bits)
     return acc
 
 

@@ -31,24 +31,24 @@ import jax.numpy as jnp
 import numpy as np
 
 LIMB_BITS = 16
-NLIMBS = 16  # 16 x 16 = 256 bits
+NLIMBS = 16  # default limb count: 16 x 16 = 256 bits (fields up to 255 bits)
 LIMB_MASK = (1 << LIMB_BITS) - 1
 DTYPE = jnp.uint32
 
 
-def int_to_limbs(x: int) -> np.ndarray:
-    """Host-side: python int -> (NLIMBS,) uint32 limb array (little-endian)."""
-    assert 0 <= x < (1 << (LIMB_BITS * NLIMBS))
+def int_to_limbs(x: int, nlimbs: int = NLIMBS) -> np.ndarray:
+    """Host-side: python int -> (nlimbs,) uint32 limb array (little-endian)."""
+    assert 0 <= x < (1 << (LIMB_BITS * nlimbs))
     return np.array(
-        [(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(NLIMBS)], dtype=np.uint32
+        [(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(nlimbs)], dtype=np.uint32
     )
 
 
 def limbs_to_int(limbs) -> int:
-    """Host-side: (..., NLIMBS) limb array -> python int (no batch dims)."""
+    """Host-side: (nlimbs,) limb array -> python int (no batch dims)."""
     limbs = np.asarray(limbs)
-    assert limbs.shape == (NLIMBS,)
-    return sum(int(limbs[i]) << (LIMB_BITS * i) for i in range(NLIMBS))
+    assert limbs.ndim == 1
+    return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(limbs))
 
 
 @dataclass(frozen=True, eq=False)
@@ -62,6 +62,9 @@ class FieldSpec:
 
     name: str
     modulus: int
+    # Limb count for this field (NLIMBS for <= 255-bit fields; e.g. 24 for
+    # the 381-bit BLS12-381 base field).  Montgomery R = 2^(16 * nlimbs).
+    nlimbs: int = NLIMBS
     # Derived (filled by `make_field`):
     p_limbs: np.ndarray = field(default=None, repr=False)
     pprime_limbs: np.ndarray = field(default=None, repr=False)  # -p^-1 mod 2^256
@@ -89,7 +92,9 @@ def _bits_le(x: int, n: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def make_field(name: str, modulus: int, nonresidue: int = 5) -> FieldSpec:
     p = modulus
-    R = 1 << (LIMB_BITS * NLIMBS)
+    nlimbs = max(NLIMBS, -(-(p.bit_length() + 1) // LIMB_BITS))
+    R = 1 << (LIMB_BITS * nlimbs)
+    assert 2 * p < R, "limb count too small for the modulus"
     pprime = (-pow(p, -1, R)) % R
     r_mod_p = R % p
     r2 = (R * R) % p
@@ -106,18 +111,19 @@ def make_field(name: str, modulus: int, nonresidue: int = 5) -> FieldSpec:
     spec = FieldSpec(
         name=name,
         modulus=p,
-        p_limbs=int_to_limbs(p),
-        pprime_limbs=int_to_limbs(pprime),
+        nlimbs=nlimbs,
+        p_limbs=int_to_limbs(p, nlimbs),
+        pprime_limbs=int_to_limbs(pprime, nlimbs),
         r_mod_p=r_mod_p,
         r2_mod_p=r2,
-        one_mont=int_to_limbs(r_mod_p),
-        r2_mont=int_to_limbs(r2),
-        zero=np.zeros(NLIMBS, dtype=np.uint32),
+        one_mont=int_to_limbs(r_mod_p, nlimbs),
+        r2_mont=int_to_limbs(r2, nlimbs),
+        zero=np.zeros(nlimbs, dtype=np.uint32),
         inv_exp_bits=_bits_le(p - 2, p.bit_length()),
         two_adicity=two_adicity,
         t_odd=t,
         t_bits=_bits_le((t - 1) // 2, max(t.bit_length(), 1)),
-        root_of_unity_mont=int_to_limbs((root * r_mod_p) % p),
+        root_of_unity_mont=int_to_limbs((root * r_mod_p) % p, nlimbs),
     )
     return spec
 
@@ -227,37 +233,39 @@ def _skew_diag_sums(mat):
 
 
 def _wide_mul_cols(a, b):
-    """Full 256x256-bit product as 32 columns of partial sums (each < 2^22).
+    """Full n-limb product as 2n columns of partial sums (each < 2^22).
 
-    a, b: (..., NLIMBS) -> (..., 2*NLIMBS) uint32 column sums (not carried).
+    a, b: (..., n) -> (..., 2n) uint32 column sums (not carried).
     All-integer: the TPU's float matmul path truncates through bf16, so the
     anti-diagonal contraction uses the exact skew-reshape reduction instead.
     """
-    prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16) uint32 (exact)
+    n = a.shape[-1]
+    prod = a[..., :, None] * b[..., None, :]  # (..., n, n) uint32 (exact)
     lo = prod & LIMB_MASK
     hi = prod >> LIMB_BITS
-    cols_lo = _skew_diag_sums(lo)  # (..., 31): col k = sum_{i+j=k}
+    cols_lo = _skew_diag_sums(lo)  # (..., 2n-1): col k = sum_{i+j=k}
     cols_hi = _skew_diag_sums(hi)
-    cols = jnp.zeros(a.shape[:-1] + (2 * NLIMBS,), dtype=DTYPE)
-    cols = cols.at[..., : 2 * NLIMBS - 1].add(cols_lo)
-    cols = cols.at[..., 1: 2 * NLIMBS].add(cols_hi)
+    cols = jnp.zeros(a.shape[:-1] + (2 * n,), dtype=DTYPE)
+    cols = cols.at[..., : 2 * n - 1].add(cols_lo)
+    cols = cols.at[..., 1: 2 * n].add(cols_hi)
     return cols
 
 
 def _low_half_mul_limbs(a, b_const_limbs):
-    """(a * b) mod 2^256 where b is a constant numpy limb vector.
+    """(a * b) mod R where b is a constant numpy limb vector.
 
-    Used for q = T_low * p' mod R in REDC.  Returns carried 16 limbs.
+    Used for q = T_low * p' mod R in REDC.  Returns carried n limbs.
     """
+    n = a.shape[-1]
     b = jnp.asarray(b_const_limbs, dtype=DTYPE)
-    prod = a[..., :, None] * b[None, :]  # (..., 16, 16)
+    prod = a[..., :, None] * b[None, :]  # (..., n, n)
     lo = prod & LIMB_MASK
     hi = prod >> LIMB_BITS
     cols_lo = _skew_diag_sums(lo)
     cols_hi = _skew_diag_sums(hi)
-    cols = cols_lo[..., :NLIMBS]
-    cols = cols.at[..., 1:].add(cols_hi[..., : NLIMBS - 1])
-    out, _, _ = _carry_propagate(cols, NLIMBS)
+    cols = cols_lo[..., :n]
+    cols = cols.at[..., 1:].add(cols_hi[..., : n - 1])
+    out, _, _ = _carry_propagate(cols, n)
     return out
 
 
@@ -274,8 +282,8 @@ def _fjit(fn):
 @_fjit
 def add(spec: FieldSpec, a, b):
     s = a + b  # limb values < 2^17
-    limbs, carry, _ = _carry_propagate(s, NLIMBS)
-    # a + b < 2p < 2^256 so carry out of limb 15 is 0
+    limbs, carry, _ = _carry_propagate(s, a.shape[-1])
+    # a + b < 2p < R so carry out of the top limb is 0
     return _cond_sub_p(spec, limbs)
 
 
@@ -285,7 +293,7 @@ def sub(spec: FieldSpec, a, b):
     diff, borrow = _sub_limbs(a, b)
     # if borrowed, add p back
     readd = diff + jnp.broadcast_to(p, diff.shape)
-    readd, _, _ = _carry_propagate(readd, NLIMBS)
+    readd, _, _ = _carry_propagate(readd, diff.shape[-1])
     return jnp.where((borrow == 1)[..., None], readd, diff)
 
 
@@ -299,23 +307,24 @@ def neg(spec: FieldSpec, a):
 
 
 def redc(spec: FieldSpec, cols):
-    """Montgomery reduction of a 512-bit value given as 32 column sums (< 2^27).
+    """Montgomery reduction of a 2n-limb value given as 2n column sums (< 2^27).
 
-    Returns (T + q*p) / R  reduced to < p, in 16 limbs.
+    Returns (T + q*p) / R  reduced to < p, in n limbs.
     """
+    n = cols.shape[-1] // 2
     # Normalise low half to get exact T mod R.
-    t_low, carry16, low_limbs = _carry_propagate(cols[..., :NLIMBS], NLIMBS)
+    t_low, carry16, low_limbs = _carry_propagate(cols[..., :n], n)
     # q = T_low * p' mod R
     q = _low_half_mul_limbs(t_low, spec.pprime_limbs)
     # q * p (full product columns)
     p = jnp.asarray(spec.p_limbs, dtype=DTYPE)
     qp_cols = _wide_mul_cols(q, jnp.broadcast_to(p, q.shape))
-    # total = T + q*p ; low half is ≡ 0 mod R; we need the carry into limb 16.
-    low_total = t_low + qp_cols[..., :NLIMBS]
-    _, carry_low, _ = _carry_propagate(low_total, NLIMBS)
-    hi = cols[..., NLIMBS:] + qp_cols[..., NLIMBS:]
+    # total = T + q*p ; low half is ≡ 0 mod R; we need the carry into limb n.
+    low_total = t_low + qp_cols[..., :n]
+    _, carry_low, _ = _carry_propagate(low_total, n)
+    hi = cols[..., n:] + qp_cols[..., n:]
     hi = hi.at[..., 0].add(carry_low + carry16)
-    out, carry_out, _ = _carry_propagate(hi, NLIMBS)
+    out, carry_out, _ = _carry_propagate(hi, n)
     # T + q*p < (p^2 + R*p); /R < 2p fits 16 limbs with carry_out==0 except
     # boundary; fold carry_out (0/1) into a conditional subtract loop: result
     # < 2p so one conditional subtract suffices and carry_out is always 0.
@@ -339,7 +348,7 @@ def square(spec: FieldSpec, a):
 def from_mont(spec: FieldSpec, a):
     """Montgomery -> canonical residue limbs."""
     cols = jnp.concatenate(
-        [a, jnp.zeros(a.shape[:-1] + (NLIMBS,), dtype=DTYPE)], axis=-1
+        [a, jnp.zeros(a.shape, dtype=DTYPE)], axis=-1
     )
     return redc(spec, cols)
 
@@ -486,48 +495,56 @@ def is_zero(a):
 def to_int(spec: FieldSpec, a) -> int:
     """Single Montgomery element -> python int (host sync)."""
     canon = np.asarray(from_mont(spec, a))
-    return limbs_to_int(canon.reshape(NLIMBS))
+    return limbs_to_int(canon.reshape(spec.nlimbs))
 
 
 def from_int(spec: FieldSpec, x: int):
     """python int -> Montgomery element on device."""
-    limbs = jnp.asarray(int_to_limbs(x % spec.modulus))
+    limbs = jnp.asarray(int_to_limbs(x % spec.modulus, spec.nlimbs))
     return to_mont(spec, limbs)
 
 
 def array_from_ints(spec: FieldSpec, xs) -> jnp.ndarray:
-    """List of python ints -> (n, NLIMBS) Montgomery array."""
-    arr = np.stack([int_to_limbs(x % spec.modulus) for x in xs]) if len(xs) else np.zeros((0, NLIMBS), np.uint32)
+    """List of python ints -> (n, nlimbs) Montgomery array."""
+    arr = (np.stack([int_to_limbs(x % spec.modulus, spec.nlimbs) for x in xs])
+           if len(xs) else np.zeros((0, spec.nlimbs), np.uint32))
     return to_mont(spec, jnp.asarray(arr))
 
 
 def array_to_ints(spec: FieldSpec, a) -> list:
     canon = np.asarray(from_mont(spec, a))
-    flat = canon.reshape(-1, NLIMBS)
+    flat = canon.reshape(-1, spec.nlimbs)
     return [limbs_to_int(row) for row in flat]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def canonical_bits(spec: FieldSpec, a, nbits: int = 256):
-    """Montgomery array (..., NLIMBS) -> (..., nbits) uint32 LE bit array."""
+    """Montgomery array (..., nlimbs) -> (..., nbits) uint32 LE bit array."""
     canon = from_mont(spec, a)
+    n = canon.shape[-1]
     shifts = jnp.arange(LIMB_BITS, dtype=DTYPE)
-    bits = (canon[..., :, None] >> shifts[None, :]) & 1  # (..., 16, 16)
-    bits = bits.reshape(*canon.shape[:-1], NLIMBS * LIMB_BITS)
+    bits = (canon[..., :, None] >> shifts[None, :]) & 1  # (..., n, 16)
+    bits = bits.reshape(*canon.shape[:-1], n * LIMB_BITS)
+    if nbits > n * LIMB_BITS:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(canon.shape[:-1] + (nbits - n * LIMB_BITS,),
+                             DTYPE)], axis=-1)
     return bits[..., :nbits]
 
 
 @_fjit
 def reduce_raw_limbs(spec: FieldSpec, raw):
-    """256 uniform random bits -> field element (Montgomery form).
+    """R uniform random bits -> field element (Montgomery form).
 
-    raw < 2^256 < 4p for ~254-bit p, so at most three conditional subtracts
-    canonicalise it; the distribution bias is O(2^-252) — negligible.  A
-    uniform residue is uniform in the Montgomery domain, so the result is
-    used directly as a Montgomery-form element.
-    """
+    raw < R < (k+1) p with k = R // p, so k conditional subtracts
+    canonicalise it; for ~254-bit p over 2^256 the bias is O(2^-252) —
+    negligible.  (For wider-gap fields like BLS12-381's 381-bit p over
+    2^384 the residue bias is ~2^-3-level on low residues; acceptable for
+    the setup/test sampling this is used for.)  A uniform residue is
+    uniform in the Montgomery domain, so the result is used directly as a
+    Montgomery-form element."""
     x = raw
-    for _ in range(3):
+    for _ in range((1 << (LIMB_BITS * spec.nlimbs)) // spec.modulus):
         x = _cond_sub_p(spec, x)
     return x
 
@@ -536,5 +553,6 @@ def random_elements(spec: FieldSpec, rng: np.random.Generator, shape=()):
     """Host RNG -> uniform field elements (Montgomery form, device array).
 
     Vectorised: one numpy draw + a jitted reduction (no per-element python)."""
-    raw = rng.integers(0, 1 << LIMB_BITS, size=shape + (NLIMBS,), dtype=np.uint32)
+    raw = rng.integers(0, 1 << LIMB_BITS, size=shape + (spec.nlimbs,),
+                       dtype=np.uint32)
     return reduce_raw_limbs(spec, jnp.asarray(raw))

@@ -53,9 +53,9 @@ def _sub_borrow(a, b):
 
 
 def _const(spec_limbs, ref):
-    """numpy (NLIMBS,) constant -> (NLIMBS, ...) broadcastable array."""
+    """numpy (n,) constant -> (n, ...) broadcastable array."""
     c = jnp.asarray(spec_limbs, dtype=DTYPE)
-    return c.reshape((NLIMBS,) + (1,) * (ref.ndim - 1))
+    return c.reshape((c.shape[0],) + (1,) * (ref.ndim - 1))
 
 
 def _cond_sub_p(spec: FieldSpec, a):
@@ -83,36 +83,38 @@ def _wide_cols(a, b):
     Shifted accumulation over the limb axis (leading): 16 iterations of
     lane-wide multiply + two slice-adds.
     """
+    n = a.shape[0]
     shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    cols = jnp.zeros((2 * NLIMBS,) + shape, DTYPE)
-    for i in range(NLIMBS):
-        prod = a[i][None] * b  # (NLIMBS, ...) exact uint32
+    cols = jnp.zeros((2 * n,) + shape, DTYPE)
+    for i in range(n):
+        prod = a[i][None] * b  # (n, ...) exact uint32
         lo = prod & LIMB_MASK
         hi = prod >> LIMB_BITS
-        cols = cols.at[i:i + NLIMBS].add(lo)
-        cols = cols.at[i + 1:i + NLIMBS + 1].add(hi)
+        cols = cols.at[i:i + n].add(lo)
+        cols = cols.at[i + 1:i + n + 1].add(hi)
     return cols
 
 
 def mul(spec: FieldSpec, a, b):
+    n = a.shape[0]
     cols = _wide_cols(a, b)
-    t_low, carry16 = _carry(cols[:NLIMBS])
+    t_low, carry16 = _carry(cols[:n])
     ppr = _const(spec.pprime_limbs, t_low)
-    # q = T_low * p' mod 2^256 (low half only)
+    # q = T_low * p' mod R (low half only)
     qshape = t_low.shape[1:]
-    qcols = jnp.zeros((NLIMBS + 1,) + qshape, DTYPE)
-    for i in range(NLIMBS):
-        ncol = NLIMBS - i
+    qcols = jnp.zeros((n + 1,) + qshape, DTYPE)
+    for i in range(n):
+        ncol = n - i
         prod = t_low[i][None] * ppr
         lo = prod & LIMB_MASK
         hi = prod >> LIMB_BITS
         qcols = qcols.at[i:i + ncol].add(lo[:ncol])
         qcols = qcols.at[i + 1:i + ncol + 1].add(hi[:ncol])
-    q, _ = _carry(qcols[:NLIMBS])
+    q, _ = _carry(qcols[:n])
     qp = _wide_cols(q, jnp.broadcast_to(_const(spec.p_limbs, q), q.shape))
-    low_total = t_low + qp[:NLIMBS]
+    low_total = t_low + qp[:n]
     _, carry_low = _carry(low_total)
-    hi = cols[NLIMBS:] + qp[NLIMBS:]
+    hi = cols[n:] + qp[n:]
     hi = hi.at[0].add(carry_low + carry16)
     out, _ = _carry(hi)
     return _cond_sub_p(spec, out)

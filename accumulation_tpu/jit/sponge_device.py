@@ -22,7 +22,7 @@ from ..ops import poseidon
 class DeviceSponge:
     def __init__(self, spec: FieldSpec):
         self.spec = spec
-        self.state = jnp.zeros((poseidon.T, NLIMBS), DTYPE)
+        self.state = jnp.zeros((poseidon.T, spec.nlimbs), DTYPE)
         self.mode = "absorb"
         self.pos = 0
 
@@ -50,7 +50,7 @@ class DeviceSponge:
     def absorb_point(self, pt):
         """pt: Affine with scalar shape; encodes [x, y, inf ? 1 : 0]."""
         one = jnp.asarray(self.spec.one_mont, DTYPE)
-        zero = jnp.zeros((NLIMBS,), DTYPE)
+        zero = jnp.zeros((self.spec.nlimbs,), DTYPE)
         inf = pt.inf[..., None]
         self.absorb_elements([
             jnp.where(inf, zero, pt.x),
@@ -80,7 +80,7 @@ class DeviceSponge:
         """
         k = (size_bits + 127) // 128
         elems = self.squeeze_elements(k)
-        limbs = jnp.zeros((NLIMBS,), DTYPE)
+        limbs = jnp.zeros((scalar_spec.nlimbs,), DTYPE)
         for ci, e in enumerate(elems):
             canon = fp.from_mont(self.spec, e)
             take_bits = min(128, size_bits - 128 * ci)

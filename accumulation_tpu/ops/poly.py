@@ -67,7 +67,8 @@ def weighted_sum(spec: FieldSpec, vecs, weights):
     Log-depth tree of field adds.
     """
     m = vecs.shape[0]
-    w = weights.reshape(weights.shape[:1] + (1,) * (vecs.ndim - 2) + (NLIMBS,))
+    w = weights.reshape(
+        weights.shape[:1] + (1,) * (vecs.ndim - 2) + (weights.shape[-1],))
     terms = fp.mul(spec, vecs, w)
     while m > 1:
         half = m // 2
@@ -99,9 +100,9 @@ def powers(spec: FieldSpec, x, n: int):
 def from_ints(spec: FieldSpec, ints, pad_to=None):
     n = len(ints)
     d = pad_to or n
-    arr = np.zeros((d, NLIMBS), np.uint32)
+    arr = np.zeros((d, spec.nlimbs), np.uint32)
     for i, x in enumerate(ints):
-        arr[i] = fp.int_to_limbs(x % spec.modulus)
+        arr[i] = fp.int_to_limbs(x % spec.modulus, spec.nlimbs)
     return fp.to_mont(spec, jnp.asarray(arr))
 
 

@@ -99,12 +99,13 @@ def _device_constants(spec: FieldSpec):
     ark, mds = poseidon_params(spec)
     r = spec.r_mod_p
     p = spec.modulus
+    nl = spec.nlimbs
     ark_mont = np.stack(
-        [np.stack([fp.int_to_limbs(c * r % p) for c in row]) for row in ark]
-    )  # (rounds, T, NLIMBS)
+        [np.stack([fp.int_to_limbs(c * r % p, nl) for c in row]) for row in ark]
+    )  # (rounds, T, nlimbs)
     mds_mont = np.stack(
-        [np.stack([fp.int_to_limbs(c * r % p) for c in row]) for row in mds]
-    )  # (T, T, NLIMBS)
+        [np.stack([fp.int_to_limbs(c * r % p, nl) for c in row]) for row in mds]
+    )  # (T, T, nlimbs)
     return jnp.asarray(ark_mont), jnp.asarray(mds_mont)
 
 

@@ -76,10 +76,16 @@ def _sample_points(curve: CurveSpec, n: int, seed: bytes) -> Affine:
     rng = np.random.default_rng(int.from_bytes(digest, "little"))
     found_x, found_y = [], []
     remaining = n
+    # candidate x-coordinates: (bitlen(p) - 1)-bit values, always < p
+    nl = curve.fq.nlimbs
+    cand_bits = curve.fq.modulus.bit_length() - 1
+    top_limb = (cand_bits - 1) // 16
+    top_mask = (1 << (cand_bits - 16 * top_limb)) - 1
     while remaining > 0:
         m = max(64, int(remaining * 1.3))
-        raw = rng.integers(0, 1 << 16, size=(m, NLIMBS), dtype=np.uint32)
-        raw[:, -1] &= 0x3FFF  # 254-bit candidates < p
+        raw = rng.integers(0, 1 << 16, size=(m, nl), dtype=np.uint32)
+        raw[:, top_limb] &= top_mask
+        raw[:, top_limb + 1:] = 0
         pts, ok = _solve_candidates(curve, fp.to_mont(curve.fq, jnp.asarray(raw)))
         okh = np.asarray(ok)
         xs = np.asarray(pts.x)[okh]
@@ -90,7 +96,18 @@ def _sample_points(curve: CurveSpec, n: int, seed: bytes) -> Affine:
         remaining -= take
     gx = jnp.asarray(np.concatenate(found_x, axis=0))
     gy = jnp.asarray(np.concatenate(found_y, axis=0))
-    return Affine(gx, gy, jnp.zeros((n,), bool))
+    pts = Affine(gx, gy, jnp.zeros((n,), bool))
+    if curve.cofactor != 1:
+        # Clear the cofactor so every sampled point lies in the prime-order
+        # subgroup — otherwise Pedersen loses its homomorphism (scalar
+        # arithmetic is mod fr, which only matches the group law on the
+        # fr-torsion; BLS12-381 G1 has cofactor ~2^126).
+        cleared = wst.scalar_mul_int(
+            curve, wst.from_affine(curve, pts), curve.cofactor)
+        pts = wst.to_affine(curve, cleared)
+        assert not bool(np.asarray(jnp.any(pts.inf))), (
+            "cofactor clearing produced the identity (re-seed the sampler)")
+    return pts
 
 
 def setup(curve: CurveSpec, n: int) -> PedersenParams:

@@ -41,27 +41,27 @@ FLAG_INFINITY = 0x40
 
 
 def limbs_to_bytes(canon: np.ndarray) -> np.ndarray:
-    """(n, NLIMBS) canonical uint32 16-bit limbs -> (n, 32) uint8 LE."""
+    """(n, nl) canonical uint32 16-bit limbs -> (n, 2*nl) uint8 LE."""
     try:
         from . import native
-        if native.available():
+        if native.available() and canon.shape[-1] == NLIMBS:
             return native.limbs_to_bytes(canon)
     except Exception:
         pass
     as16 = canon.astype(np.uint16)
-    return as16.view(np.uint8).reshape(canon.shape[0], 32)
+    return as16.view(np.uint8).reshape(canon.shape[0], 2 * canon.shape[-1])
 
 
 def bytes_to_limbs(data: np.ndarray) -> np.ndarray:
-    """(n, 32) uint8 LE -> (n, NLIMBS) canonical uint32 limbs."""
+    """(n, 2*nl) uint8 LE -> (n, nl) canonical uint32 limbs."""
     try:
         from . import native
-        if native.available():
+        if native.available() and data.shape[-1] == 2 * NLIMBS:
             return native.bytes_to_limbs(data)
     except Exception:
         pass
     as16 = np.ascontiguousarray(data, dtype=np.uint8).view(np.uint16)
-    return as16.reshape(data.shape[0], NLIMBS).astype(np.uint32)
+    return as16.reshape(data.shape[0], data.shape[-1] // 2).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -70,17 +70,18 @@ def bytes_to_limbs(data: np.ndarray) -> np.ndarray:
 
 
 def write_scalars(buf: io.BytesIO, spec: FieldSpec, arr):
-    """arr: (..., NLIMBS) Montgomery -> concatenated 32-byte LE values."""
-    canon = np.asarray(fp.from_mont(spec, arr)).reshape(-1, NLIMBS)
+    """arr: (..., nl) Montgomery -> concatenated 2*nl-byte LE values."""
+    canon = np.asarray(fp.from_mont(spec, arr)).reshape(-1, spec.nlimbs)
     buf.write(limbs_to_bytes(canon).tobytes())
 
 
 def read_scalars(buf: io.BytesIO, spec: FieldSpec, shape):
     n = int(np.prod(shape)) if shape else 1
-    raw = np.frombuffer(buf.read(32 * n), dtype=np.uint8).reshape(n, 32)
+    nb = 2 * spec.nlimbs
+    raw = np.frombuffer(buf.read(nb * n), dtype=np.uint8).reshape(n, nb)
     limbs = bytes_to_limbs(raw)
     arr = fp.to_mont(spec, jnp.asarray(limbs))
-    return arr.reshape(*shape, NLIMBS) if shape else arr[0]
+    return arr.reshape(*shape, spec.nlimbs) if shape else arr[0]
 
 
 def write_usize(buf, x: int):
@@ -108,6 +109,20 @@ def read_opt_tag(buf) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _rows_gt(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Integer row comparison a > b for (n, NLIMBS) LE limb arrays.
+
+    Vectorised MSB-down pass: O(NLIMBS) numpy ops total, independent of n
+    (replaces the per-point python byte-string loop — hostile at 2^20-point
+    keys)."""
+    gt = np.zeros(a.shape[0], dtype=bool)
+    eq = np.ones(a.shape[0], dtype=bool)
+    for i in range(a.shape[1] - 1, -1, -1):
+        gt |= eq & (a[:, i] > b[:, i])
+        eq &= a[:, i] == b[:, i]
+    return gt
+
+
 def write_points(buf: io.BytesIO, curve: CurveSpec, pts: Affine):
     """pts: batched (n,) affine -> n compressed 32-byte records."""
     f = curve.fq
@@ -118,24 +133,22 @@ def write_points(buf: io.BytesIO, curve: CurveSpec, pts: Affine):
     yneg = np.asarray(fp.from_mont(f, fp.neg(f, pts.y)))
     inf = np.asarray(pts.inf)
     data = limbs_to_bytes(xc).copy()
-    # y larger <=> y > p - y as integers; compare limb arrays big-endian-wise
-    larger = np.zeros(len(inf), dtype=bool)
-    for i in range(len(inf)):
-        a = yc[i][::-1].tobytes()
-        b = yneg[i][::-1].tobytes()
-        larger[i] = a > b
-    data[:, 31] |= np.where(larger, FLAG_Y_LARGER, 0).astype(np.uint8)
-    data[:, 31] |= np.where(inf, FLAG_INFINITY, 0).astype(np.uint8)
-    data[inf, :31] = 0
+    top = data.shape[1] - 1  # flags live in the record's top byte
+    # y larger <=> y > p - y as integers (batched limb comparison)
+    larger = _rows_gt(yc, yneg)
+    data[:, top] |= np.where(larger, FLAG_Y_LARGER, 0).astype(np.uint8)
+    data[:, top] |= np.where(inf, FLAG_INFINITY, 0).astype(np.uint8)
+    data[inf, :top] = 0
     buf.write(data.tobytes())
 
 
 def read_points(buf: io.BytesIO, curve: CurveSpec, n: int) -> Affine:
     """Reads n compressed points; recovers y via batched device sqrt."""
     f = curve.fq
-    raw = np.frombuffer(buf.read(32 * n), dtype=np.uint8).reshape(n, 32).copy()
-    flags = raw[:, 31] & 0xC0
-    raw[:, 31] &= 0x3F
+    nb = 2 * f.nlimbs
+    raw = np.frombuffer(buf.read(nb * n), dtype=np.uint8).reshape(n, nb).copy()
+    flags = raw[:, nb - 1] & 0xC0
+    raw[:, nb - 1] &= 0x3F
     inf = (flags & FLAG_INFINITY) != 0
     larger = (flags & FLAG_Y_LARGER) != 0
     x = fp.to_mont(f, jnp.asarray(bytes_to_limbs(raw)))
@@ -146,12 +159,10 @@ def read_points(buf: io.BytesIO, curve: CurveSpec, n: int) -> Affine:
     if not bool(np.asarray(ok | jnp.asarray(inf)).all()):
         raise ValueError("invalid point encoding: x not on curve")
     y_neg = fp.neg(f, y)
-    # canonicalise: y_small = lexicographically smaller root
+    # canonicalise: y_small = lexicographically smaller root (batched)
     yc = np.asarray(fp.from_mont(f, y))
     ync = np.asarray(fp.from_mont(f, y_neg))
-    small_is_y = np.zeros(n, dtype=bool)
-    for i in range(n):
-        small_is_y[i] = yc[i][::-1].tobytes() <= ync[i][::-1].tobytes()
+    small_is_y = ~_rows_gt(yc, ync)
     take_neg = jnp.asarray(np.where(larger, small_is_y, ~small_is_y))
     y = jnp.where(take_neg[:, None], y_neg, y)
     xz = jnp.where(jnp.asarray(inf)[:, None], jnp.zeros_like(x), x)

@@ -77,6 +77,48 @@ def _digits_and_sort(curve: CurveSpec, scalars_mont, c: int):
     return sorted_digits, perm, ranks, max_count
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
+    """Sort-free digit/rank extraction: -> (digits (W,N), ranks (W,N),
+    max_count ()).
+
+    rank[i] = #\\{j < i : digit_j == digit_i\\} per window, computed with a
+    blocked one-hot cumsum — replaces the argsort+searchsorted path, whose
+    XLA:TPU sort measured 620 ms at N=2^16 (experiments/profile_out.txt),
+    ~100x the arithmetic cost of this formulation."""
+    bits = fp.canonical_bits(curve.fr, scalars_mont)  # (N, 256)
+    n = bits.shape[0]
+    w = 256 // c
+    nb = 1 << c
+    weights = (jnp.uint32(1) << jnp.arange(c, dtype=jnp.uint32)).astype(jnp.int32)
+    digits = jnp.sum(
+        bits.reshape(n, w, c).astype(jnp.int32) * weights[None, None, :],
+        axis=-1).T  # (W, N)
+
+    ch = 1024
+    pad = (-n) % ch
+    nb_pad = n + pad
+
+    def per_window(_, dw):
+        dpad = jnp.concatenate([dw, jnp.full((pad,), -1, jnp.int32)]) \
+            if pad else dw
+        onehot = (dpad[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.int32)                      # (Np, NB)
+        blocks = onehot.reshape(nb_pad // ch, ch, nb)
+        within = jnp.cumsum(blocks, axis=1)                # inclusive
+        block_tot = within[:, -1, :]
+        offs = jnp.cumsum(block_tot, axis=0) - block_tot   # exclusive
+        incl = (within + offs[:, None, :]).reshape(nb_pad, nb)
+        rank = jnp.take_along_axis(
+            incl[:n], jnp.clip(dw[:, None], 0, nb - 1), axis=1)[:, 0] - 1
+        counts = incl[n - 1]
+        wmax = jnp.max(counts[1:]) if nb > 1 else jnp.int32(0)
+        return None, (rank, wmax)
+
+    _, (ranks, wmaxes) = jax.lax.scan(per_window, None, digits)
+    return digits, ranks, jnp.max(wmaxes)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
                   c: int, s: int, unrolls=None) -> Jacobian:
@@ -107,8 +149,9 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     slots = slot_flat[: w * nb * s].reshape(w, nb, s)
 
     # --- points with infinity sentinel at index n ---------------------------
-    px = jnp.concatenate([points.x, jnp.zeros((1, NLIMBS), DTYPE)], axis=0)
-    py = jnp.concatenate([points.y, jnp.zeros((1, NLIMBS), DTYPE)], axis=0)
+    nl = points.x.shape[-1]
+    px = jnp.concatenate([points.x, jnp.zeros((1, nl), DTYPE)], axis=0)
+    py = jnp.concatenate([points.y, jnp.zeros((1, nl), DTYPE)], axis=0)
     pinf = jnp.concatenate([points.inf, jnp.ones((1,), bool)], axis=0)
 
     # Slot-major layout (t leading) so each sweep step gathers a contiguous

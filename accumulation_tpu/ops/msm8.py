@@ -1,0 +1,269 @@
+"""Pippenger MSM bucket phase on the exact-f32 8-bit-limb engine (fields/fp8).
+
+Same slot-matrix structure as ops/msm.py / ops/msm_lanes.py, with the group
+arithmetic running on fields/fp8.py: every limb product is a float multiply
+(exact — see fp8 docstring), sidestepping the TPU's emulated integer
+multiplier.  Profiled on v5e, the u32 engines are multiplier-bound
+(experiments/profile_out.txt); this engine is the product fast path.
+
+Layout: lane-major (2n_limbs8, ...batch) f32; batch fills the VPU lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import os as _os
+# thin unrolls on the XLA:CPU test backend (compile-time; see ops/msm.py)
+_ON_CPU = "cpu" in _os.environ.get("JAX_PLATFORMS", "")
+SWEEP_CHUNK = 2 if _ON_CPU else 16
+AGG_UNROLL_N = 1 if _ON_CPU else 8
+DBL_UNROLL_N = 1 if _ON_CPU else 8
+
+from ..curves.weierstrass import Affine, CurveSpec, Projective
+from ..fields import fp, fp8
+from ..fields.fp import DTYPE
+
+
+class P8(NamedTuple):  # projective, lane-major f32: (nl8, ...)
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+class A8(NamedTuple):  # affine, lane-major f32 + inf (...)
+    x: jnp.ndarray
+    y: jnp.ndarray
+    inf: jnp.ndarray
+
+
+def zero8(curve: CurveSpec, shape=()) -> P8:
+    f = curve.fq
+    return P8(fp8.zero(f, shape), fp8.one(f, shape), fp8.zero(f, shape))
+
+
+def _b3(curve: CurveSpec, ref):
+    return fp8.const_from_mont_u32(np.asarray(curve.b3_mont), ref)
+
+
+def where8(cond, a: P8, b: P8) -> P8:
+    c = cond[None]
+    return P8(jnp.where(c, a.x, b.x), jnp.where(c, a.y, b.y),
+              jnp.where(c, a.z, b.z))
+
+
+def add_mixed8(curve: CurveSpec, p: P8, q: A8) -> P8:
+    """RCB15 algorithm 8 (Z2 = 1) + select for q = infinity."""
+    f = curve.fq
+    b3 = jnp.broadcast_to(_b3(curve, p.z), p.z.shape)
+    X1, Y1, Z1 = p
+    X2, Y2 = q.x, q.y
+    t0 = fp8.mul(f, X1, X2)
+    t1 = fp8.mul(f, Y1, Y2)
+    t3 = fp8.mul(f, fp8.add(f, X2, Y2), fp8.add(f, X1, Y1))
+    t3 = fp8.sub(f, t3, fp8.add(f, t0, t1))
+    t4 = fp8.add(f, fp8.mul(f, Y2, Z1), Y1)
+    Y3 = fp8.add(f, fp8.mul(f, X2, Z1), X1)
+    t0 = fp8.add(f, fp8.add(f, t0, t0), t0)
+    t2 = fp8.mul(f, b3, Z1)
+    Z3 = fp8.add(f, t1, t2)
+    t1 = fp8.sub(f, t1, t2)
+    Y3 = fp8.mul(f, b3, Y3)
+    X3 = fp8.mul(f, t4, Y3)
+    X3 = fp8.sub(f, fp8.mul(f, t3, t1), X3)
+    Y3 = fp8.mul(f, Y3, t0)
+    Y3 = fp8.add(f, fp8.mul(f, t1, Z3), Y3)
+    t0 = fp8.mul(f, t0, t3)
+    Z3 = fp8.add(f, fp8.mul(f, Z3, t4), t0)
+    out = P8(X3, Y3, Z3)
+    qinf = q.inf[None]
+    return P8(
+        jnp.where(qinf, jnp.broadcast_to(p.x, out.x.shape), out.x),
+        jnp.where(qinf, jnp.broadcast_to(p.y, out.y.shape), out.y),
+        jnp.where(qinf, jnp.broadcast_to(p.z, out.z.shape), out.z))
+
+
+def add8(curve: CurveSpec, p: P8, q: P8) -> P8:
+    """RCB15 algorithm 7: complete projective addition."""
+    f = curve.fq
+    b3 = jnp.broadcast_to(_b3(curve, p.z), p.z.shape)
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = fp8.mul(f, X1, X2)
+    t1 = fp8.mul(f, Y1, Y2)
+    t2 = fp8.mul(f, Z1, Z2)
+    t3 = fp8.mul(f, fp8.add(f, X1, Y1), fp8.add(f, X2, Y2))
+    t3 = fp8.sub(f, t3, fp8.add(f, t0, t1))
+    t4 = fp8.mul(f, fp8.add(f, Y1, Z1), fp8.add(f, Y2, Z2))
+    t4 = fp8.sub(f, t4, fp8.add(f, t1, t2))
+    X3 = fp8.mul(f, fp8.add(f, X1, Z1), fp8.add(f, X2, Z2))
+    Y3 = fp8.sub(f, X3, fp8.add(f, t0, t2))
+    t0 = fp8.add(f, fp8.add(f, t0, t0), t0)
+    t2 = fp8.mul(f, b3, t2)
+    Z3 = fp8.add(f, t1, t2)
+    t1 = fp8.sub(f, t1, t2)
+    Y3 = fp8.mul(f, b3, Y3)
+    X3 = fp8.mul(f, t4, Y3)
+    X3 = fp8.sub(f, fp8.mul(f, t3, t1), X3)
+    Y3 = fp8.mul(f, Y3, t0)
+    Y3 = fp8.add(f, fp8.mul(f, t1, Z3), Y3)
+    t0 = fp8.mul(f, t0, t3)
+    Z3 = fp8.add(f, fp8.mul(f, Z3, t4), t0)
+    return P8(X3, Y3, Z3)
+
+
+def dbl8(curve: CurveSpec, p: P8) -> P8:
+    """RCB15 algorithm 9: complete doubling."""
+    f = curve.fq
+    b3 = jnp.broadcast_to(_b3(curve, p.z), p.z.shape)
+    X, Y, Z = p
+    t0 = fp8.mul(f, Y, Y)
+    Z3 = fp8.add(f, t0, t0)
+    Z3 = fp8.add(f, Z3, Z3)
+    Z3 = fp8.add(f, Z3, Z3)
+    t1 = fp8.mul(f, Y, Z)
+    t2 = fp8.mul(f, b3, fp8.mul(f, Z, Z))
+    X3 = fp8.mul(f, t2, Z3)
+    Y3 = fp8.add(f, t0, t2)
+    Z3 = fp8.mul(f, t1, Z3)
+    t1 = fp8.add(f, t2, t2)
+    t2 = fp8.add(f, t1, t2)
+    t0 = fp8.sub(f, t0, t2)
+    Y3 = fp8.mul(f, t0, Y3)
+    Y3 = fp8.add(f, X3, Y3)
+    t1 = fp8.mul(f, X, Y)
+    X3 = fp8.mul(f, t0, t1)
+    X3 = fp8.add(f, X3, X3)
+    return P8(X3, Y3, Z3)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def bucket_phase8(curve: CurveSpec, points: Affine, sorted_digits,
+                  perm_ranks, c: int, s: int, stage: str = "full"):
+    """f32-engine bucket phase; returns a standard u32 Projective.
+
+    stage: "sweep" / "agg" / "full" — profiling hooks, as in msm_lanes."""
+    perm, ranks = perm_ranks
+    nbits = sorted_digits.shape[0] * c
+    w = nbits // c
+    nb = 1 << c
+    n = perm.shape[-1]
+
+    valid = (sorted_digits > 0) & (ranks < s)
+    lin_idx = (jnp.arange(w)[:, None] * (nb * s) + sorted_digits * s
+               + jnp.clip(ranks, 0, s - 1))
+    lin_idx = jnp.where(valid, lin_idx, w * nb * s)
+    slot_flat = jnp.full((w * nb * s + 1,), n, dtype=jnp.int32)
+    slot_flat = slot_flat.at[lin_idx.reshape(-1)].set(
+        perm.reshape(-1).astype(jnp.int32), mode="drop")
+    slots = slot_flat[: w * nb * s].reshape(w, nb, s)
+
+    # f32 8-bit-limb point tables with infinity sentinel at index n
+    nl8 = 2 * curve.fq.nlimbs
+    px = jnp.concatenate(
+        [fp8.to8(points.x), jnp.zeros((nl8, 1), fp8.F32)], axis=1)
+    py = jnp.concatenate(
+        [fp8.to8(points.y), jnp.zeros((nl8, 1), fp8.F32)], axis=1)
+    pinf = jnp.concatenate([points.inf, jnp.ones((1,), bool)], axis=0)
+
+    slots_t = jnp.transpose(slots, (2, 0, 1))  # (S, W, NB)
+    chunk = min(s, SWEEP_CHUNK)
+    assert s % chunk == 0
+    slots_c = slots_t.reshape(s // chunk, chunk, w, nb)
+
+    def body(acc, idx_block):
+        for t in range(chunk):
+            idx = idx_block[t]  # (W, NB)
+            q = A8(px[:, idx], py[:, idx], pinf[idx])
+            acc = add_mixed8(curve, acc, q)
+        return acc, None
+
+    init = zero8(curve, (w, nb))
+    buckets, _ = jax.lax.scan(body, init, slots_c)
+
+    def to_u32_proj(p8: P8) -> Projective:
+        return Projective(fp8.from8(p8.x), fp8.from8(p8.y), fp8.from8(p8.z))
+
+    if stage == "sweep":
+        return to_u32_proj(P8(buckets.x[:, 0], buckets.y[:, 0],
+                              buckets.z[:, 0]))
+
+    AGG_UNROLL = AGG_UNROLL_N
+    pad_agg = (-(nb - 1)) % AGG_UNROLL
+    order = jnp.concatenate(
+        [jnp.arange(nb - 1, 0, -1), jnp.zeros((pad_agg,), jnp.int32)])
+    order = order.reshape(-1, AGG_UNROLL)
+
+    def agg_body(carry, vs):
+        running, total = carry
+        for t in range(AGG_UNROLL):
+            v = vs[t]
+            valid_v = jnp.broadcast_to(v > 0, (w,))
+            bv = P8(buckets.x[:, :, v], buckets.y[:, :, v], buckets.z[:, :, v])
+            running = where8(valid_v, add8(curve, running, bv), running)
+            total = where8(valid_v, add8(curve, total, running), total)
+        return (running, total), None
+
+    init_agg = (zero8(curve, (w,)), zero8(curve, (w,)))
+    (_, window_sums), _ = jax.lax.scan(agg_body, init_agg, order)
+    if stage == "agg":
+        return to_u32_proj(window_sums)
+
+    total_dbl = c * (w - 1)
+    DBL_UNROLL = DBL_UNROLL_N
+    win_idx = jnp.arange(w)
+
+    def dbl_body(acc, i_base):
+        for t in range(DBL_UNROLL):
+            i = i_base + t
+            mask = i < (c * win_idx)
+            acc = where8(mask, dbl8(curve, acc), acc)
+        return acc, None
+
+    n_steps = (total_dbl + DBL_UNROLL - 1) // DBL_UNROLL
+    acc, _ = jax.lax.scan(dbl_body, window_sums,
+                          jnp.arange(n_steps) * DBL_UNROLL)
+    m = w
+    pts = acc
+    while m > 1:
+        half = m // 2
+        left = P8(*(a[:, :half] for a in pts))
+        right = P8(*(a[:, half:2 * half] for a in pts))
+        summed = add8(curve, left, right)
+        if m % 2:
+            summed = P8(*(jnp.concatenate([a, b[:, -1:]], 1)
+                          for a, b in zip(summed, pts)))
+            m = half + 1
+        else:
+            m = half
+        pts = summed
+    return to_u32_proj(P8(pts.x[:, 0], pts.y[:, 0], pts.z[:, 0]))
+
+
+def msm8(curve: CurveSpec, points: Affine, scalars_mont, c: int = 8,
+         s: int = None):
+    """Full MSM via the f32 bucket phase (host-synced slot bound unless
+    a static s is supplied).  Uses the sort-free rank path: the slot scatter
+    only needs (digit, rank) per point, with the identity permutation as
+    scatter values."""
+    from . import msm as msm_mod
+    from ..curves import weierstrass as wst
+    if 256 % c != 0:
+        raise ValueError("window size c must divide 256")
+    digits, ranks, max_count = msm_mod._digits_and_ranks(
+        curve, scalars_mont, c)
+    if s is None:
+        s = int(max_count)
+        if s == 0:
+            return wst.jacobian_zero(curve, ())
+        s = min(1 << (s - 1).bit_length(), points.x.shape[0])
+        s = max(s, 16)
+    n = points.x.shape[0]
+    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                            digits.shape)
+    return bucket_phase8(curve, points, digits, (perm, ranks), c, s)

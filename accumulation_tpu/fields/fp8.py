@@ -1,28 +1,45 @@
-"""Exact f32 field arithmetic on 8-bit limbs — the TPU fast path.
+"""Exact float32 field arithmetic on redundant 8-bit limbs — the TPU MSM
+engine.
 
-Why: the TPU VPU has no native 32-bit integer multiplier; XLA emulates every
-uint32 multiply, and the measured throughput of the u32 limb engine is ~3
-G-mults/s (profiled on v5e, experiments/profile_out.txt) — orders of
-magnitude under the chip's float throughput.  Float32 multiplies, by
-contrast, run at full VPU rate and are IEEE-exact whenever the product fits
-the 24-bit mantissa.
+Why floats: the TPU VPU has no native 32-bit integer multiplier; XLA
+emulates every uint32 multiply, and the u32 limb engine measured ~3 G
+emulated mults/s (experiments/profile_out.txt) — far under the chip's f32
+throughput.  f32 multiply-adds are IEEE-exact whenever every intermediate
+fits the 24-bit mantissa, so 8-bit limbs with bounded redundancy give exact
+field arithmetic at float speed.
 
-Representation: an n-limb Montgomery element (radix 2^16, fields/fp.py)
-resplit into 2n limbs of 8 bits, stored as f32 in lane-major layout
-``(2n, ...batch)``.  All values are integers:
+Design (this file replaces an earlier 2x16-limb f32 engine whose sequential
+per-limb carry chains produced megascale XLA graphs that never finished
+compiling on the remote TPU toolchain):
 
-  * canonical limbs are in [0, 255];
-  * an 8x8-bit partial product is <= 2^16, and a convolution column sums at
-    most 2n <= 48 of them: < 2^22 < 2^24 — exact in f32;
-  * carry propagation uses floor(v / 256) (exact for |v| < 2^24, and floor
-    handles negative borrows for free).
+  * REDUNDANT representation: ``NL8(spec)`` f32 limbs, radix 256, stored
+    lane-major ``(nl8, ...batch)``; public ops keep every limb <= ~260
+    (canonical would be <= 255) and element VALUES in [0, ~1.01p + small).
+    Values are plain integers — no wraparound — so all carry handling is
+    local.
+  * OVERSIZED Montgomery radix: R8 = 2^(8*nl8) with nl8 = ceil((bits+56)/8)
+    (39 limbs / R8 = 2^312 for 255-bit fields).  Because R8 >= 2^56 * p,
+    Montgomery outputs stay < 1.01p with NO conditional subtraction — the
+    hot loop contains zero sequential chains.
+  * Convolutions via the exact skew-reshape reduction (same trick as the
+    u32 engine, fields/fp.py:_skew_diag_sums, transposed to the lane-major
+    layout): pad / reflatten / one tree sum — 3 wide VPU ops, no
+    dynamic-update-slice chains.
+  * Carries as VECTORIZED passes: one pass = split v into (lo, hi) and add
+    hi shifted one limb up — 4 elementwise ops over the whole limb tensor;
+    3 passes bring post-convolution columns (< 2^25) down to limbs <= 258.
+  * REDC low-half carry WITHOUT sequential propagation: the low half of
+    T + q*p is an exact multiple of R8, so its carry-out is an integer we
+    only need to within +-0.5; the top three columns evaluated in f32 give
+    it exactly (error < 0.1), one rounding recovers it.
 
-Montgomery R stays 2^(16 n) — identical to the u32 engine — so conversion
-between engines is a pure limb resplit; REDC is the same algorithm.
-Same role as fields/fp_lanes.py (lane-major batch in the VPU lanes), with
-every multiply ~10-30x cheaper.  This is the engine under the throughput
-kernels (ops/msm.py lane path); reference MSM role: arkworks `ark-ec` MSMs
-(e.g. call sites /root/reference/src/hp_as/mod.rs:196-214,377).
+Bounds (proofs in comments):  operands <= 260 limb-wise =>
+39 * 260^2 < 2^24 mantissa-exact column sums; mul output <= 258;
+add = limb add + 1 pass (<= 259); sub adds a limb-wise-large multiple of p
+(precomputed) then 1 pass.
+
+Reference role: the arkworks `ark-ec` MSM inner loops
+(/root/reference/src/hp_as/mod.rs:196-214,377 call sites).
 """
 
 from __future__ import annotations
@@ -33,182 +50,266 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fp import FieldSpec, LIMB_BITS, LIMB_MASK, DTYPE as U32
+from .fp import FieldSpec, DTYPE as U32, LIMB_BITS
 
 F32 = jnp.float32
 INV256 = float(2.0 ** -8)
 
 
 # ---------------------------------------------------------------------------
-# spec constants (8-bit limb form, cached per field)
+# spec constants (cached per field, all host-side numpy)
 # ---------------------------------------------------------------------------
 
 
-def _split8(x: int, nl8: int) -> np.ndarray:
-    return np.array([(x >> (8 * i)) & 0xFF for i in range(nl8)],
+def _split8_int(x: int, n: int) -> np.ndarray:
+    return np.array([(x >> (8 * i)) & 0xFF for i in range(n)],
                     dtype=np.float32)
 
 
 @functools.lru_cache(maxsize=None)
 def consts8(spec: FieldSpec):
-    """(nl8, p8, pprime8) numpy f32 arrays for this field."""
-    nl8 = 2 * spec.nlimbs
-    R = 1 << (LIMB_BITS * spec.nlimbs)
-    pprime = (-pow(spec.modulus, -1, R)) % R
-    return nl8, _split8(spec.modulus, nl8), _split8(pprime, nl8)
+    """Redundant-engine constants for `spec`.
+
+    Returns dict with: nl8, p8 (canonical limbs of p), pp8 (-p^-1 mod R8),
+    r8_mod_p (fp8-Montgomery one), to8_f (R8^2 / R mod p, plain limbs),
+    from8_f (R mod p, plain limbs), sub_pad (limb-wise-large multiple of p).
+    """
+    p = spec.modulus
+    bits = p.bit_length()
+    nl8 = -(-(bits + 56) // 8)  # R8 >= 2^56 * p
+    R8 = 1 << (8 * nl8)
+    R = 1 << (LIMB_BITS * spec.nlimbs)  # the u32 engine's radix
+    pp8 = (-pow(p, -1, R8)) % R8
+    to8_f = (R8 * R8 % p) * pow(R, -1, p) % p
+    from8_f = R % p
+
+    # sub_pad: a multiple of p whose limbs dominate any minuend's (so a - b
+    # + pad stays limb-wise non-negative) while its VALUE stays ~64p (far
+    # below R8, so Montgomery bounds hold).  Only limbs 0..nz-1 can be
+    # nonzero in a bounded operand (values < ~8p => limb i <= value/256^i);
+    # build k*p with k ~ 2^6 and redistribute value downward
+    # (limb[i] += 256*t, limb[i+1] -= t) until limbs 0..nz-1 >= 304.
+    nz = bits // 8 + 1  # highest possibly-nonzero limb of a <8p value
+    k = (1 << (8 * nz + 6)) // p + 1
+    kp = k * p
+    limbs = [(kp >> (8 * i)) & 0xFF for i in range(nl8)]
+    limbs[nz] = kp >> (8 * nz)  # collapse the top into limb nz
+    for i in range(nz + 1, nl8):
+        limbs[i] = 0
+    for i in range(nz - 1, -1, -1):
+        # target 310: the limb below may still borrow up to 2 afterwards
+        need = max(0, -(-(310 - limbs[i]) // 256))
+        limbs[i] += 256 * need
+        limbs[i + 1] -= need
+    assert all(304 <= limbs[i] <= 1100 for i in range(nz)), limbs
+    assert limbs[nz] >= 16, limbs  # still dominates limb nz of a <8p value
+    assert sum(l << (8 * i) for i, l in enumerate(limbs)) == kp
+    sub_pad = np.array(limbs, dtype=np.float32)
+
+    return {
+        "nl8": nl8,
+        "p8": _split8_int(p, nl8),
+        "pp8": _split8_int(pp8, nl8),
+        "one8": _split8_int(R8 % p, nl8),
+        "to8_f": _split8_int(to8_f, nl8),
+        "from8_f": _split8_int(from8_f, nl8),
+        "sub_pad": sub_pad,
+    }
 
 
-def _const(arr: np.ndarray, ref):
+def NL8(spec: FieldSpec) -> int:
+    return consts8(spec)["nl8"]
+
+
+def _const(arr: np.ndarray, ndim: int):
     c = jnp.asarray(arr, F32)
-    return c.reshape((c.shape[0],) + (1,) * (ref.ndim - 1))
+    return c.reshape((c.shape[0],) + (1,) * (ndim - 1))
 
 
 # ---------------------------------------------------------------------------
-# u32 (16-bit limbs, trailing axis) <-> f32 (8-bit limbs, leading axis)
+# carry machinery — all vectorized, no per-limb loops
 # ---------------------------------------------------------------------------
 
 
-def to8(a):
-    """(..., n) uint32 16-bit limbs -> (2n, ...) f32 8-bit limbs."""
-    lo = (a & 0xFF).astype(F32)
-    hi = ((a >> 8) & 0xFF).astype(F32)
-    inter = jnp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1],
-                                                 2 * a.shape[-1])
-    return jnp.moveaxis(inter, -1, 0)
+def _pass(v):
+    """One carry pass: limbs' = (v mod 256) + shift_up(v div 256).
+
+    Magnitude shrinks ~256x per pass.  The top carry is dropped — callers
+    guarantee it is zero (value bound << R8) or work mod R8."""
+    hi = jnp.floor(v * INV256)
+    lo = v - hi * 256.0
+    return lo + jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
 
 
-def from8(a):
-    """(2n, ...) f32 canonical 8-bit limbs -> (..., n) uint32 16-bit limbs."""
-    moved = jnp.moveaxis(a, 0, -1).astype(U32)
-    nl8 = moved.shape[-1]
-    pairs = moved.reshape(*moved.shape[:-1], nl8 // 2, 2)
-    return pairs[..., 0] | (pairs[..., 1] << 8)
-
-
-# ---------------------------------------------------------------------------
-# carry machinery (all exact in f32)
-# ---------------------------------------------------------------------------
-
-
-def _carry(cols, out_limbs=None):
-    """Normalise (m, ...) integer-valued f32 columns (|v| < 2^24) to 8-bit
-    limbs; returns (limbs, carry_out).  floor-based: works for negatives."""
-    m = cols.shape[0]
-    out = out_limbs if out_limbs is not None else m
-    limbs = []
-    carry = jnp.zeros(cols.shape[1:], F32)
-    for i in range(m):
-        v = cols[i] + carry
-        carry = jnp.floor(v * INV256)
-        if i < out:
-            limbs.append(v - carry * 256.0)
-    return jnp.stack(limbs[:out], axis=0), carry
-
-
-def _cond_sub_p(spec: FieldSpec, a):
-    """One conditional subtract of p (canonicalises a < 2p)."""
-    nl8, p8, _ = consts8(spec)
-    p = _const(p8, a)
-    limbs = []
-    borrow = jnp.zeros(a.shape[1:], F32)
-    for i in range(nl8):
-        v = a[i] - p[i] + borrow
-        borrow = jnp.floor(v * INV256)   # 0 or -1
-        limbs.append(v - borrow * 256.0)
-    diff = jnp.stack(limbs, axis=0)
-    keep = (borrow < 0)[None]            # borrowed: a < p, keep a
-    return jnp.where(keep, a, diff)
+def _norm3(v):
+    """Columns < 2^25 -> limbs <= 258 (3 passes)."""
+    return _pass(_pass(_pass(v)))
 
 
 # ---------------------------------------------------------------------------
-# public ops — all take/return canonical 8-bit-limb Montgomery f32 tensors
+# exact skew-reshape convolution (lane-major: limb axis leading)
+# ---------------------------------------------------------------------------
+
+
+def _skew_sum(prod):
+    """Anti-diagonal sums: (n, n, ...batch) -> (2n-1, ...batch).
+
+    Row r padded to width 2n and reflattened to width 2n-1 lands shifted by
+    r (index algebra r*2n + c == r*(2n-1) + (r+c)), so one sum over the row
+    axis yields col[k] = sum_{i+j=k} prod[i, j].  Exact: each column sums
+    <= n f32 values < 2^19 -> < 2^25 < f32 exact-integer range for sums of
+    integers... (products < 260^2 < 2^17, n <= 55 terms -> < 2^23)."""
+    n = prod.shape[0]
+    rest = prod.shape[2:]
+    padded = jnp.concatenate(
+        [prod, jnp.zeros((n, n) + rest, prod.dtype)], axis=1)  # (n, 2n, ...)
+    flat = padded.reshape((2 * n * n,) + rest)[: n * (2 * n - 1)]
+    skewed = flat.reshape((n, 2 * n - 1) + rest)
+    return jnp.sum(skewed, axis=0)
+
+
+def _conv_full(a, b):
+    """Full product columns: (n, ...) x (n, ...) -> (2n, ...)."""
+    n = a.shape[0]
+    prod = a[:, None] * b[None, :]  # (n, n, ...)
+    cols = _skew_sum(prod)  # (2n-1, ...)
+    return jnp.concatenate(
+        [cols, jnp.zeros((1,) + cols.shape[1:], cols.dtype)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# public ops — redundant fp8-Montgomery representation
 # ---------------------------------------------------------------------------
 
 
 def add(spec: FieldSpec, a, b):
-    s, _ = _carry(a + b)   # a + b < 2p < R, carry out is 0
-    return _cond_sub_p(spec, s)
+    """Limb add + one pass (limbs <= 259)."""
+    return _pass(a + b)
 
 
 def sub(spec: FieldSpec, a, b):
-    nl8, p8, _ = consts8(spec)
-    p = _const(p8, a)
-    s, _ = _carry(a - b + p)  # in (0, 2p)
-    return _cond_sub_p(spec, s)
-
-
-def neg(spec: FieldSpec, a):
-    nl8, p8, _ = consts8(spec)
-    p = _const(p8, a)
-    s, _ = _carry(p - a)
-    is_zero_a = is_zero(a)
-    return jnp.where(is_zero_a[None], jnp.zeros_like(a), s)
-
-
-def _conv_full(a, b):
-    """Full convolution: (n, ...) x (n, ...) -> (2n, ...) column sums.
-
-    Exact: products <= 2^16, <= n <= 48 summands per column < 2^22."""
-    n = a.shape[0]
-    shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    cols = jnp.zeros((2 * n,) + shape, F32)
-    for i in range(n):
-        cols = cols.at[i:i + n].add(a[i][None] * b)
-    return cols
-
-
-def _conv_low(a, b_const):
-    """Low-half convolution (mod 2^(8n)) against a constant (n,) vector."""
-    n = a.shape[0]
-    cols = jnp.zeros((n,) + a.shape[1:], F32)
-    for i in range(n):
-        k = n - i
-        cols = cols.at[i:].add(a[i][None] * b_const[:k])
-    return cols
+    """a - b + (limb-wise-large multiple of p) + one pass."""
+    cs = consts8(spec)
+    pad = _const(cs["sub_pad"], a.ndim)
+    return _pass(a - b + pad)
 
 
 def mul(spec: FieldSpec, a, b):
-    """Montgomery product (aR)(bR) -> abR, all-f32."""
-    nl8, p8, pp8 = consts8(spec)
-    cols = _conv_full(a, b)                       # (2n, ...)
-    t_low, carry_mid = _carry(cols[:nl8])         # exact T mod R + carry
-    ppc = _const(pp8, t_low)
-    q_cols = _conv_low(t_low, ppc)
-    q, _ = _carry(q_cols)                         # q = T*p' mod R
-    pc = _const(p8, q)
-    qp = _conv_full(q, jnp.broadcast_to(pc, q.shape))
-    # low half of T + q*p is divisible by R; recover its carry-out
-    _, carry_low = _carry(t_low + qp[:nl8])
-    hi = cols[nl8:] + qp[nl8:]
-    hi = hi.at[0].add(carry_low + carry_mid)
-    out, _ = _carry(hi)
-    return _cond_sub_p(spec, out)
+    """Montgomery product: value(out) = value(a)*value(b)/R8 mod p,
+    out < ~1.01p + eps, limbs <= 258.  No sequential carries."""
+    cs = consts8(spec)
+    nl8 = cs["nl8"]
+    T = _conv_full(a, b)  # (2n, ...), columns < 2^23
+
+    t_low = _norm3(T[:nl8])  # mod R8 (top carries dropped — allowed)
+    ppc = _const(cs["pp8"], t_low.ndim)
+    q_prod = t_low[:, None] * ppc[None, :]  # (n, n, ...)
+    # q = (t_low * p') mod R8: full skew then truncate to n columns
+    q_cols = _skew_sum(q_prod)[:nl8]
+    q = _norm3(q_cols)  # limbs <= 258, value < 1.008*R8
+
+    pc = _const(cs["p8"], q.ndim)
+    qp = _conv_full(q, jnp.broadcast_to(pc, q.shape))  # (2n, ...)
+
+    # exact low-half carry: (T + q*p) mod R8 == 0, so the carry into limb n
+    # is an integer; the top three low columns give it to error < 0.1
+    u = T[:nl8] + qp[:nl8]
+    c_low = jnp.floor(
+        u[nl8 - 1] * INV256
+        + u[nl8 - 2] * (INV256 ** 2)
+        + u[nl8 - 3] * (INV256 ** 3)
+        + 0.5)
+
+    hi = T[nl8:] + qp[nl8:]
+    hi = hi.at[0].add(c_low)
+    return _norm3(hi)
 
 
 def square(spec: FieldSpec, a):
     return mul(spec, a, a)
 
 
-def is_zero(a):
-    return jnp.all(a == 0, axis=0)
-
-
 def zero(spec: FieldSpec, shape=()):
-    return jnp.zeros((2 * spec.nlimbs,) + shape, F32)
+    return jnp.zeros((NL8(spec),) + shape, F32)
 
 
 def one(spec: FieldSpec, shape=()):
-    nl8 = 2 * spec.nlimbs
-    o = _split8(spec.r_mod_p, nl8)
+    cs = consts8(spec)
+    o = jnp.asarray(cs["one8"], F32)
     return jnp.broadcast_to(
-        jnp.asarray(o, F32).reshape((nl8,) + (1,) * len(shape)),
-        (nl8,) + shape)
+        o.reshape((cs["nl8"],) + (1,) * len(shape)), (cs["nl8"],) + shape)
 
 
-def const_from_mont_u32(limbs_u32: np.ndarray, ref):
-    """numpy (n,) uint32 16-bit Montgomery limbs -> (2n, 1...) f32 constant."""
-    x = np.asarray(limbs_u32)
-    lo = (x & 0xFF).astype(np.float32)
-    hi = ((x >> 8) & 0xFF).astype(np.float32)
-    inter = np.stack([lo, hi], axis=-1).reshape(2 * x.shape[-1])
-    return _const(inter, ref)
+def const8(spec: FieldSpec, x: int, ndim: int):
+    """Plain python int -> broadcastable fp8-Montgomery constant."""
+    cs = consts8(spec)
+    R8 = 1 << (8 * cs["nl8"])
+    return _const(_split8_int(x * R8 % spec.modulus, cs["nl8"]), ndim)
+
+
+# ---------------------------------------------------------------------------
+# u32 (16-bit-limb Montgomery) <-> fp8 boundary conversions
+# ---------------------------------------------------------------------------
+
+
+def _resplit_u32_to8(spec: FieldSpec, a):
+    """(..., n32) u32 limbs -> (nl8, ...) f32 limbs of the same VALUE."""
+    nl8 = NL8(spec)
+    lo = (a & 0xFF).astype(F32)
+    hi = ((a >> 8) & 0xFF).astype(F32)
+    inter = jnp.stack([lo, hi], axis=-1).reshape(
+        *a.shape[:-1], 2 * a.shape[-1])
+    moved = jnp.moveaxis(inter, -1, 0)  # (2*n32, ...)
+    pad = nl8 - moved.shape[0]
+    assert pad >= 0
+    return jnp.concatenate(
+        [moved, jnp.zeros((pad,) + moved.shape[1:], F32)], axis=0)
+
+
+def to8(spec: FieldSpec, a):
+    """u32-Montgomery (..., n32) -> fp8-Montgomery (nl8, ...).
+
+    One fp8 mul: value xR (plain) times (R8^2/R mod p) over R8 = x*R8."""
+    cs = consts8(spec)
+    plain = _resplit_u32_to8(spec, a)
+    return mul(spec, plain, jnp.broadcast_to(
+        _const(cs["to8_f"], plain.ndim), plain.shape))
+
+
+def from8(spec: FieldSpec, a):
+    """fp8-Montgomery (nl8, ...) -> u32-Montgomery (..., n32), canonical.
+
+    mul by (R mod p) unwraps to value x*R as redundant limbs (< 1.01p + p);
+    a final sequential carry + up to 2 conditional subtracts canonicalise —
+    only used at kernel boundaries (3 coordinates per MSM)."""
+    cs = consts8(spec)
+    nl8 = cs["nl8"]
+    t = mul(spec, a, jnp.broadcast_to(
+        _const(cs["from8_f"], a.ndim), a.shape))  # value = xR + kp, k<=1.01
+
+    # canonical carry (sequential, boundary-only)
+    limbs = []
+    carry = jnp.zeros(t.shape[1:], F32)
+    for i in range(nl8):
+        v = t[i] + carry
+        carry = jnp.floor(v * INV256)
+        limbs.append(v - carry * 256.0)
+    canon = jnp.stack(limbs, axis=0)
+
+    p8 = _const(cs["p8"], canon.ndim)
+    for _ in range(2):  # value < ~2.02p -> canonical after <= 2 subtracts
+        borrow = jnp.zeros(canon.shape[1:], F32)
+        out = []
+        for i in range(nl8):
+            v = canon[i] - p8[i] + borrow
+            borrow = jnp.floor(v * INV256)  # 0 or -1
+            out.append(v - borrow * 256.0)
+        diff = jnp.stack(out, axis=0)
+        keep = (borrow < 0)[None]
+        canon = jnp.where(keep, canon, diff)
+
+    # repack 8-bit limbs -> 16-bit u32 limbs
+    n32 = spec.nlimbs
+    moved = jnp.moveaxis(canon[: 2 * n32], 0, -1).astype(U32)
+    pairs = moved.reshape(*moved.shape[:-1], n32, 2)
+    return pairs[..., 0] | (pairs[..., 1] << 8)

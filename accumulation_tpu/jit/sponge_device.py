@@ -47,6 +47,20 @@ class DeviceSponge:
     def absorb_u64(self, x: int):
         self.absorb_elements([fp.from_int(self.spec, int(x))])
 
+    def absorb_nonnative(self, scalar_spec: FieldSpec, x):
+        """Nonnative (scalar-field) element: identical encoding to the host
+        sponge's absorb_scalar — 32 canonical LE bytes split into 31-byte
+        chunks, each absorbed as one Fq element (ops/sponge.py spec).
+
+        x: (nlimbs,) Montgomery Fr tensor.  Requires the 16x16-bit limb
+        layout (chunk boundary at bit 248 = limb 15 bit 8)."""
+        assert scalar_spec.nlimbs == 16 and self.spec.nlimbs == 16
+        canon = fp.from_mont(scalar_spec, x)  # (16,) canonical LE limbs
+        lo = canon.at[15].set(canon[15] & 0xFF)       # bits 0..247
+        hi = jnp.zeros((16,), DTYPE).at[0].set(canon[15] >> 8)  # bits 248+
+        self.absorb_elements([
+            fp.to_mont(self.spec, lo), fp.to_mont(self.spec, hi)])
+
     def absorb_point(self, pt):
         """pt: Affine with scalar shape; encodes [x, y, inf ? 1 : 0]."""
         one = jnp.asarray(self.spec.one_mont, DTYPE)

@@ -33,7 +33,7 @@ import numpy as np
 from ..curves import weierstrass as wst
 from ..curves.weierstrass import Affine, Jacobian, CurveSpec
 from ..fields import fp
-from ..fields.fp import NLIMBS, DTYPE
+from ..fields.fp import NLIMBS, DTYPE, LIMB_BITS, LIMB_MASK
 
 SMALL_N_THRESHOLD = 96
 
@@ -52,6 +52,38 @@ def _pick_c(n: int) -> int:
     if n >= 1 << 16:
         return 8
     return 4
+
+
+# Engine selection for the bucket phase.  The redundant-f32 engine
+# (ops/msm8) replaces XLA's emulated u32 multiplies with exact float
+# arithmetic; measured at the XLA level its outer-product convolutions are
+# HBM-materialization-bound (58 s vs 3 s for u32 at 2^16 — profile_out.txt),
+# so "auto" stays on u32 until the Pallas sweep kernel (VMEM-resident
+# convolutions) carries it.
+_MSM_ENGINE = _os.environ.get("ACCUM_TPU_MSM_ENGINE", "auto")
+
+
+def _use_fp8_engine() -> bool:
+    if _MSM_ENGINE == "fp8":
+        return True
+    return False
+
+
+def _quantize_slots(s: int, n: int) -> int:
+    """Round the host-synced slot bound up to a quarter-octave step.
+
+    Pure powers of two waste up to 2x sweep work when the true max
+    occupancy just crosses a boundary; quarter steps keep the number of
+    distinct compiled variants bounded (4 per octave) while capping the
+    overshoot at 12.5%.  Steps stay multiples of 16 (the sweep chunk)."""
+    s = max(s, 16)
+    p2 = 1 << (s - 1).bit_length()
+    if p2 >= 128:
+        for num in (5, 6, 7, 8):
+            cand = p2 * num // 8
+            if cand >= s:
+                return min(cand, n)
+    return min(p2, n)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -119,22 +151,115 @@ def _digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
     return digits, ranks, jnp.max(wmaxes)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _signed_digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
+    """Signed-digit (window-NAF-style) recoding of k + r, + sort-free ranks.
+
+    -> (mag (W,N) int32 in [0, 2^(c-1)], signs (W,N) bool, ranks (W,N),
+        overflow (N) bool, max_count ()).
+
+    Two balance problems with raw unsigned digits: (a) half the bucket
+    array is cold once signs exist; (b) the TOP window is skewed by the
+    field prime — Pallas p ~ 2^254 means the top byte of a canonical scalar
+    is in [0, 64], so its buckets run ~8x hotter than the mean and force
+    the shared slot bound far above the per-window need (measured s=2048 vs
+    the uniform 512 at N=2^16, c=8 — signed recoding alone does NOT fix
+    this, it is a property of the data).
+
+    Fix: recode k + r instead of k (same group element — the commitment
+    bases live in the prime-order-r subgroup, so r*G = identity; our
+    samplers cofactor-clear, pc/pedersen.py:100-109).  k + r is uniform in
+    [r, 2r) ~ [2^254, 2^255.x), which makes EVERY c-bit window uniform.
+    The recode's final carry out of bit 255 becomes a per-point `overflow`
+    flag whose contribution (2^256 * sum of flagged points) the bucket
+    phase folds in as one masked tree-sum + an extended doubling chain.
+
+    Requires c | 256 and r < 2^255 (so k + r < 2^256)."""
+    r_mod = curve.fr.modulus
+    assert r_mod.bit_length() <= 255
+    canon = fp.from_mont(curve.fr, scalars_mont)  # (N, nl) canonical k
+    # k + r as 256-bit limbs (r < 2^255 so no 257-bit overflow)
+    nl = canon.shape[-1]
+    r_limbs = jnp.asarray(fp.int_to_limbs(r_mod, nl))
+    v = canon + r_limbs[None, :]
+    outs = []
+    carry = jnp.zeros(canon.shape[:-1], DTYPE)
+    for i in range(nl):
+        t = v[..., i] + carry
+        carry = t >> LIMB_BITS
+        outs.append(t & LIMB_MASK)
+    kr = jnp.stack(outs, axis=-1)  # (N, nl) limbs of k + r
+    shifts = jnp.arange(LIMB_BITS, dtype=DTYPE)
+    bits = ((kr[..., :, None] >> shifts[None, :]) & 1).reshape(
+        canon.shape[:-1] + (nl * LIMB_BITS,))[..., :256]
+
+    n = bits.shape[0]
+    w = 256 // c
+    nb = (1 << (c - 1)) + 1
+    half = 1 << (c - 1)
+    weights = (jnp.uint32(1) << jnp.arange(c, dtype=jnp.uint32)).astype(jnp.int32)
+    digits = jnp.sum(
+        bits.reshape(n, w, c).astype(jnp.int32) * weights[None, None, :],
+        axis=-1).T  # (W, N) unsigned
+
+    def carry_body(carry, d):
+        t = d + carry
+        neg = t > half
+        out = jnp.where(neg, t - (1 << c), t)
+        return neg.astype(jnp.int32), out
+
+    top_carry, sdig = jax.lax.scan(
+        carry_body, jnp.zeros((n,), jnp.int32), digits)  # sdig (W, N)
+    overflow = top_carry > 0  # (N,) — worth 2^256 * G_i each
+    mag = jnp.abs(sdig)
+    signs = sdig < 0
+
+    ch = 1024
+    pad = (-n) % ch
+    nb_pad = n + pad
+
+    def per_window(_, dw):
+        dpad = jnp.concatenate([dw, jnp.full((pad,), -1, jnp.int32)]) \
+            if pad else dw
+        onehot = (dpad[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.int32)
+        blocks = onehot.reshape(nb_pad // ch, ch, nb)
+        within = jnp.cumsum(blocks, axis=1)
+        block_tot = within[:, -1, :]
+        offs = jnp.cumsum(block_tot, axis=0) - block_tot
+        incl = (within + offs[:, None, :]).reshape(nb_pad, nb)
+        rank = jnp.take_along_axis(
+            incl[:n], jnp.clip(dw[:, None], 0, nb - 1), axis=1)[:, 0] - 1
+        counts = incl[n - 1]
+        wmax = jnp.max(counts[1:]) if nb > 1 else jnp.int32(0)
+        return None, (rank, wmax)
+
+    _, (ranks, wmaxes) = jax.lax.scan(per_window, None, mag)
+    return mag, signs, ranks, overflow, jnp.max(wmaxes)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8))
 def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
-                  c: int, s: int, unrolls=None) -> Jacobian:
+                  c: int, s: int, unrolls=None, signs=None,
+                  signed: bool = False, overflow=None) -> Jacobian:
     """Builds the slot matrix and returns the full MSM result.
 
     unrolls: optional (sweep_chunk, agg_unroll, dbl_unroll) static override
-    (e.g. the bench's CPU baseline forces the thin variant)."""
+    (e.g. the bench's CPU baseline forces the thin variant).
+    signed: digits are magnitudes in [0, 2^(c-1)] with per-point `signs`
+    (W, N); negative entries add the negated point (y -> -y).
+    overflow: optional (N,) bool — points whose k+r recode carried past bit
+    255; their sum enters the window combine as an extra 2^256-weighted
+    window (one masked log-depth tree-sum)."""
     sweep_chunk, agg_unroll_n, dbl_unroll_n = (
         unrolls if unrolls is not None
         else (SWEEP_CHUNK, AGG_UNROLL_N, DBL_UNROLL_N))
     perm, ranks = perm_ranks
     w = 256 // c
-    nb = 1 << c
+    nb = ((1 << (c - 1)) + 1) if signed else (1 << c)
     n = perm.shape[-1]
 
-    # --- slot matrix: (W, 2^c, S) of point indices, sentinel = n ------------
+    # --- slot matrix: (W, nb, S) of point indices, sentinel = n -------------
     valid = (sorted_digits > 0) & (ranks < s)
     lin_idx = (
         jnp.arange(w)[:, None] * (nb * s)
@@ -142,9 +267,13 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
         + jnp.clip(ranks, 0, s - 1)
     )
     lin_idx = jnp.where(valid, lin_idx, w * nb * s)  # drop slot
+    scatter_vals = perm.astype(jnp.int32)
+    if signed:
+        # fold the sign into the table index: negated points live at +n+1
+        scatter_vals = scatter_vals + (n + 1) * signs.astype(jnp.int32)
     slot_flat = jnp.full((w * nb * s + 1,), n, dtype=jnp.int32)
     slot_flat = slot_flat.at[lin_idx.reshape(-1)].set(
-        perm.reshape(-1).astype(jnp.int32), mode="drop"
+        scatter_vals.reshape(-1), mode="drop"
     )
     slots = slot_flat[: w * nb * s].reshape(w, nb, s)
 
@@ -153,6 +282,12 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     px = jnp.concatenate([points.x, jnp.zeros((1, nl), DTYPE)], axis=0)
     py = jnp.concatenate([points.y, jnp.zeros((1, nl), DTYPE)], axis=0)
     pinf = jnp.concatenate([points.inf, jnp.ones((1,), bool)], axis=0)
+    if signed:
+        py_neg = jnp.concatenate(
+            [fp.neg(curve.fq, points.y), jnp.zeros((1, nl), DTYPE)], axis=0)
+        px = jnp.concatenate([px, px], axis=0)
+        py = jnp.concatenate([py, py_neg], axis=0)
+        pinf = jnp.concatenate([pinf, pinf], axis=0)
 
     # Slot-major layout (t leading) so each sweep step gathers a contiguous
     # (chunk, W, 2^c) block; chunking amortises gather overhead while keeping
@@ -176,43 +311,61 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     buckets, _ = (jax.lax.scan(body, init, slots_c)
                   if s > 0 else (init, None))
 
-    # --- per-window weighted bucket aggregation -----------------------------
-    # sum_{v>=1} v*B_v via the running/total trick, scanning buckets from the
-    # top: running += B_v; total += running.  The inner unroll packs several
-    # buckets per scan step — the narrow (W-wide) steps are launch-latency
-    # bound on TPU, so fewer/fatter steps win.
-    AGG_UNROLL = agg_unroll_n
-    n_agg = nb - 1
-    pad_agg = (-n_agg) % AGG_UNROLL
-    # process buckets nb-1 .. 1; pad with zero-bucket indices (bucket 0 is
-    # the identity by construction, so extra adds of B_0 are no-ops)
-    order = jnp.concatenate(
-        [jnp.arange(nb - 1, 0, -1), jnp.zeros((pad_agg,), jnp.int32)])
-    order = order.reshape(-1, AGG_UNROLL)
+    # --- per-window weighted bucket aggregation: log-depth ------------------
+    # sum_{v>=1} v*B_v = sum_{k>=1} S_k where S_k = sum_{v>=k} B_v.  The
+    # suffix sums come from one associative scan over the bucket axis
+    # (log2(nb) wide steps) and the final sum from a log-depth tree — this
+    # replaces the former running/total sequential scan, whose ~2*nb narrow
+    # (W-wide) steps were pure launch/loop latency on TPU (~400 ms of the
+    # 2^16 MSM; experiments/profile_out.txt).
+    bpos = Jacobian(buckets.x[:, 1:], buckets.y[:, 1:], buckets.z[:, 1:])
+    rev = Jacobian(bpos.x[:, ::-1], bpos.y[:, ::-1], bpos.z[:, ::-1])
+    suf = jax.lax.associative_scan(
+        lambda p, q: wst.jac_add(curve, p, q), rev, axis=1)
+    # sum the nb-1 suffix sums per window: tree reduce over the bucket axis
+    m_ax = nb - 1
+    pts_agg = suf
+    while m_ax > 1:
+        half_ax = m_ax // 2
+        left = Jacobian(*(t[:, :half_ax] for t in pts_agg))
+        right = Jacobian(*(t[:, half_ax:2 * half_ax] for t in pts_agg))
+        summed = wst.jac_add(curve, left, right)
+        if m_ax % 2:
+            summed = Jacobian(*(jnp.concatenate([a, b[:, -1:]], axis=1)
+                                for a, b in zip(summed, pts_agg)))
+            m_ax = half_ax + 1
+        else:
+            m_ax = half_ax
+        pts_agg = summed
+    window_sums = Jacobian(pts_agg.x[:, 0], pts_agg.y[:, 0], pts_agg.z[:, 0])
 
-    def agg_body(carry, vs):
-        running, total = carry
-        for t in range(AGG_UNROLL):
-            v = vs[t]
-            valid = jnp.broadcast_to(v > 0, (w,))  # padded steps are no-ops
-            bv = Jacobian(buckets.x[:, v], buckets.y[:, v], buckets.z[:, v])
-            running = wst._where_pt(
-                valid, wst.jac_add(curve, running, bv), running)
-            total = wst._where_pt(
-                valid, wst.jac_add(curve, total, running), total)
-        return (running, total), None
-
-    init_agg = (wst.jacobian_zero(curve, (w,)), wst.jacobian_zero(curve, (w,)))
-    (_, window_sums), _ = jax.lax.scan(agg_body, init_agg, order)
+    # --- overflow window (k+r recode carry): masked tree-sum ---------------
+    # value 2^256 * sum_{overflow_i} G_i; appended as window index W whose
+    # doubling count c*W == 256 falls out of the same chain below.
+    n_win = w
+    if overflow is not None:
+        fq_one = jnp.broadcast_to(
+            jnp.asarray(curve.fq.one_mont, DTYPE), points.x.shape)
+        live = overflow & ~points.inf
+        s_pts = Jacobian(
+            jnp.where(live[:, None], points.x, jnp.zeros_like(points.x)),
+            jnp.where(live[:, None], points.y, fq_one),
+            jnp.where(live[:, None], fq_one, jnp.zeros_like(points.x)))
+        s_sum = wst._tree_reduce(curve, s_pts)
+        window_sums = Jacobian(
+            jnp.concatenate([window_sums.x, s_sum.x[None]], axis=0),
+            jnp.concatenate([window_sums.y, s_sum.y[None]], axis=0),
+            jnp.concatenate([window_sums.z, s_sum.z[None]], axis=0))
+        n_win = w + 1
 
     # --- window combine: parallel-weighted, then log-depth tree -------------
-    # result = sum_w 2^{c w} S_w.  Doubling chains run batched across all W
+    # result = sum_w 2^{c w} S_w.  Doubling chains run batched across all
     # windows at once with per-window masks (window w doubles c*w times),
     # then one tree reduction — O(c*W) doublings of W-wide lanes in
     # ceil(c*W / UNROLL) steps instead of per-window sequential Horner.
-    total_dbl = c * (w - 1)
+    total_dbl = c * (n_win - 1)
     DBL_UNROLL = dbl_unroll_n
-    win_idx = jnp.arange(w)
+    win_idx = jnp.arange(n_win)
 
     def dbl_body(acc, i_base):
         for t in range(DBL_UNROLL):
@@ -241,20 +394,33 @@ def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobi
         return wst.jacobian_zero(curve, ())
     if n <= SMALL_N_THRESHOLD:
         return wst.msm_bitserial(curve, points, scalars_mont)
+    # transparent multi-chip dispatch: when an active mesh is set
+    # (parallel/context.py), shard the point axis over it
+    from ..parallel import context as par_context
+    mesh = par_context.get_mesh()
+    if mesh is not None and n % mesh.devices.size == 0 \
+            and n // mesh.devices.size > 0 and mesh.devices.size > 1:
+        from ..parallel import sharded
+        return sharded.msm_sharded(curve, mesh, points, scalars_mont, c)
     if c is None:
         c = _pick_c(n)
     if 256 % c != 0:
         raise ValueError(f"window size c={c} must divide 256 "
                          "(a non-divisor would silently drop top scalar bits)")
-    sorted_digits, perm, ranks, max_count = _digits_and_sort(
+    mag, signs, ranks, overflow, max_count = _signed_digits_and_ranks(
         curve, scalars_mont, c
     )
     s = int(max_count)  # host sync (one int)
     if s == 0:
         return wst.jacobian_zero(curve, ())
-    s = 1 << (s - 1).bit_length()  # bucket to pow2 to bound recompiles
-    s = min(s, n)
-    return _bucket_phase(curve, points, sorted_digits, (perm, ranks), c, s)
+    s = _quantize_slots(s, n)
+    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape)
+    if _use_fp8_engine():
+        from . import msm8
+        return msm8.bucket_phase8(curve, points, mag, (perm, ranks), c, s,
+                                  signs=signs, signed=True, overflow=overflow)
+    return _bucket_phase(curve, points, mag, (perm, ranks), c, s,
+                         signs=signs, signed=True, overflow=overflow)
 
 
 def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
@@ -269,14 +435,33 @@ def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
         return wst.jacobian_zero(curve, (0,))
     if n <= SMALL_N_THRESHOLD:
         return jax.vmap(lambda s: wst.msm_bitserial(curve, points, s))(scalars_mont)
+    from ..parallel import context as par_context
+    mesh = par_context.get_mesh()
+    if mesh is not None and n % mesh.devices.size == 0 \
+            and mesh.devices.size > 1:
+        from ..parallel import sharded
+        outs = [sharded.msm_sharded(curve, mesh, points, scalars_mont[i])
+                for i in range(b)]
+        return Jacobian(
+            jnp.stack([o.x for o in outs]),
+            jnp.stack([o.y for o in outs]),
+            jnp.stack([o.z for o in outs]))
     c = _pick_c(n)
-    sorted_digits, perm, ranks, max_count = jax.vmap(
-        lambda s: _digits_and_sort(curve, s, c)
+    mag, signs, ranks, overflow, max_count = jax.vmap(
+        lambda s: _signed_digits_and_ranks(curve, s, c)
     )(scalars_mont)
     s = int(jnp.max(max_count))
     if s == 0:
         return wst.jacobian_zero(curve, (b,))
-    s = min(1 << (s - 1).bit_length(), n)
-    return jax.vmap(
-        lambda sd, pe, ra: _bucket_phase(curve, points, sd, (pe, ra), c, s)
-    )(sorted_digits, perm, ranks)
+    s = _quantize_slots(s, n)
+    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape[1:])
+    if _use_fp8_engine():
+        from . import msm8
+        bucket = lambda mg, sg, ra, of: msm8.bucket_phase8(
+            curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
+            overflow=of)
+    else:
+        bucket = lambda mg, sg, ra, of: _bucket_phase(
+            curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
+            overflow=of)
+    return jax.vmap(bucket)(mag, signs, ranks, overflow)

@@ -1,12 +1,13 @@
-"""Pippenger MSM bucket phase on the exact-f32 8-bit-limb engine (fields/fp8).
+"""Pippenger MSM bucket phase on the redundant-f32 8-bit-limb engine
+(fields/fp8).
 
-Same slot-matrix structure as ops/msm.py / ops/msm_lanes.py, with the group
-arithmetic running on fields/fp8.py: every limb product is a float multiply
-(exact — see fp8 docstring), sidestepping the TPU's emulated integer
-multiplier.  Profiled on v5e, the u32 engines are multiplier-bound
-(experiments/profile_out.txt); this engine is the product fast path.
+Same slot-matrix structure as ops/msm.py, with the group arithmetic running
+on fields/fp8.py: every limb product is an exact float multiply (see the
+fp8 docstring), sidestepping the TPU's emulated integer multiplier, and
+every carry is a vectorized pass — no sequential chains anywhere in the
+sweep, so both the XLA graphs and the runtime critical path stay small.
 
-Layout: lane-major (2n_limbs8, ...batch) f32; batch fills the VPU lanes.
+Layout: lane-major (nl8, ...batch) f32; batch fills the VPU lanes.
 """
 
 from __future__ import annotations
@@ -21,8 +22,7 @@ import numpy as np
 import os as _os
 # thin unrolls on the XLA:CPU test backend (compile-time; see ops/msm.py)
 _ON_CPU = "cpu" in _os.environ.get("JAX_PLATFORMS", "")
-SWEEP_CHUNK = 2 if _ON_CPU else 16
-AGG_UNROLL_N = 1 if _ON_CPU else 8
+SWEEP_CHUNK = 2 if _ON_CPU else 8
 DBL_UNROLL_N = 1 if _ON_CPU else 8
 
 from ..curves.weierstrass import Affine, CurveSpec, Projective
@@ -48,7 +48,7 @@ def zero8(curve: CurveSpec, shape=()) -> P8:
 
 
 def _b3(curve: CurveSpec, ref):
-    return fp8.const_from_mont_u32(np.asarray(curve.b3_mont), ref)
+    return fp8.const8(curve.fq, 3 * curve.b % curve.fq.modulus, ref.ndim)
 
 
 def where8(cond, a: P8, b: P8) -> P8:
@@ -142,34 +142,49 @@ def dbl8(curve: CurveSpec, p: P8) -> P8:
     return P8(X3, Y3, Z3)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8))
 def bucket_phase8(curve: CurveSpec, points: Affine, sorted_digits,
-                  perm_ranks, c: int, s: int, stage: str = "full"):
+                  perm_ranks, c: int, s: int, stage: str = "full",
+                  signs=None, signed: bool = False, overflow=None):
     """f32-engine bucket phase; returns a standard u32 Projective.
 
-    stage: "sweep" / "agg" / "full" — profiling hooks, as in msm_lanes."""
+    stage: "sweep" / "agg" / "full" — profiling hooks.
+    signed: digits are magnitudes in [0, 2^(c-1)], `signs` (W, N) selects
+    the negated point (see msm._signed_digits_and_ranks).
+    overflow: optional (N,) bool — k+r recode carries, folded in as a
+    2^256-weighted extra window via a masked log-depth tree-sum."""
     perm, ranks = perm_ranks
     nbits = sorted_digits.shape[0] * c
     w = nbits // c
-    nb = 1 << c
+    nb = ((1 << (c - 1)) + 1) if signed else (1 << c)
     n = perm.shape[-1]
 
     valid = (sorted_digits > 0) & (ranks < s)
     lin_idx = (jnp.arange(w)[:, None] * (nb * s) + sorted_digits * s
                + jnp.clip(ranks, 0, s - 1))
     lin_idx = jnp.where(valid, lin_idx, w * nb * s)
+    scatter_vals = perm.astype(jnp.int32)
+    if signed:
+        scatter_vals = scatter_vals + (n + 1) * signs.astype(jnp.int32)
     slot_flat = jnp.full((w * nb * s + 1,), n, dtype=jnp.int32)
     slot_flat = slot_flat.at[lin_idx.reshape(-1)].set(
-        perm.reshape(-1).astype(jnp.int32), mode="drop")
+        scatter_vals.reshape(-1), mode="drop")
     slots = slot_flat[: w * nb * s].reshape(w, nb, s)
 
     # f32 8-bit-limb point tables with infinity sentinel at index n
-    nl8 = 2 * curve.fq.nlimbs
+    nl8 = fp8.NL8(curve.fq)
     px = jnp.concatenate(
-        [fp8.to8(points.x), jnp.zeros((nl8, 1), fp8.F32)], axis=1)
+        [fp8.to8(curve.fq, points.x), jnp.zeros((nl8, 1), fp8.F32)], axis=1)
     py = jnp.concatenate(
-        [fp8.to8(points.y), jnp.zeros((nl8, 1), fp8.F32)], axis=1)
+        [fp8.to8(curve.fq, points.y), jnp.zeros((nl8, 1), fp8.F32)], axis=1)
     pinf = jnp.concatenate([points.inf, jnp.ones((1,), bool)], axis=0)
+    if signed:
+        py_neg = jnp.concatenate(
+            [fp8.to8(curve.fq, fp.neg(curve.fq, points.y)),
+             jnp.zeros((nl8, 1), fp8.F32)], axis=1)
+        px = jnp.concatenate([px, px], axis=1)
+        py = jnp.concatenate([py, py_neg], axis=1)
+        pinf = jnp.concatenate([pinf, pinf], axis=0)
 
     slots_t = jnp.transpose(slots, (2, 0, 1))  # (S, W, NB)
     chunk = min(s, SWEEP_CHUNK)
@@ -187,36 +202,70 @@ def bucket_phase8(curve: CurveSpec, points: Affine, sorted_digits,
     buckets, _ = jax.lax.scan(body, init, slots_c)
 
     def to_u32_proj(p8: P8) -> Projective:
-        return Projective(fp8.from8(p8.x), fp8.from8(p8.y), fp8.from8(p8.z))
+        f = curve.fq
+        return Projective(fp8.from8(f, p8.x), fp8.from8(f, p8.y),
+                          fp8.from8(f, p8.z))
 
     if stage == "sweep":
         return to_u32_proj(P8(buckets.x[:, 0], buckets.y[:, 0],
                               buckets.z[:, 0]))
 
-    AGG_UNROLL = AGG_UNROLL_N
-    pad_agg = (-(nb - 1)) % AGG_UNROLL
-    order = jnp.concatenate(
-        [jnp.arange(nb - 1, 0, -1), jnp.zeros((pad_agg,), jnp.int32)])
-    order = order.reshape(-1, AGG_UNROLL)
-
-    def agg_body(carry, vs):
-        running, total = carry
-        for t in range(AGG_UNROLL):
-            v = vs[t]
-            valid_v = jnp.broadcast_to(v > 0, (w,))
-            bv = P8(buckets.x[:, :, v], buckets.y[:, :, v], buckets.z[:, :, v])
-            running = where8(valid_v, add8(curve, running, bv), running)
-            total = where8(valid_v, add8(curve, total, running), total)
-        return (running, total), None
-
-    init_agg = (zero8(curve, (w,)), zero8(curve, (w,)))
-    (_, window_sums), _ = jax.lax.scan(agg_body, init_agg, order)
+    # log-depth weighted aggregation: sum_{v>=1} v*B_v = sum_k S_k with
+    # S_k = sum_{v>=k} B_v (suffix sums via one associative scan over the
+    # bucket axis + a tree sum) — see ops/msm.py for the rationale
+    bpos = P8(buckets.x[:, :, 1:], buckets.y[:, :, 1:], buckets.z[:, :, 1:])
+    rev = P8(bpos.x[..., ::-1], bpos.y[..., ::-1], bpos.z[..., ::-1])
+    suf = jax.lax.associative_scan(
+        lambda p, q: add8(curve, p, q), rev, axis=2)
+    m_ax = nb - 1
+    pts_agg = suf
+    while m_ax > 1:
+        half_ax = m_ax // 2
+        left = P8(*(t[..., :half_ax] for t in pts_agg))
+        right = P8(*(t[..., half_ax:2 * half_ax] for t in pts_agg))
+        summed = add8(curve, left, right)
+        if m_ax % 2:
+            summed = P8(*(jnp.concatenate([a, b[..., -1:]], axis=-1)
+                          for a, b in zip(summed, pts_agg)))
+            m_ax = half_ax + 1
+        else:
+            m_ax = half_ax
+        pts_agg = summed
+    window_sums = P8(pts_agg.x[..., 0], pts_agg.y[..., 0], pts_agg.z[..., 0])
     if stage == "agg":
         return to_u32_proj(window_sums)
 
-    total_dbl = c * (w - 1)
+    # overflow window (k+r recode carry): masked tree-sum of the flagged
+    # points as a 2^256-weighted extra window (c * W == 256 doublings)
+    n_win = w
+    if overflow is not None:
+        f = curve.fq
+        one8v = fp8.one(f, (n,))
+        live = (overflow & ~points.inf)[None, :]
+        sx = jnp.where(live, px[:, :n], 0.0)
+        sy = jnp.where(live, py[:, :n], one8v)
+        sz = jnp.where(live, one8v, jnp.zeros_like(one8v))
+        spts = P8(sx, sy, sz)
+        m_s = n
+        while m_s > 1:
+            half_s = m_s // 2
+            left = P8(*(a[:, :half_s] for a in spts))
+            right = P8(*(a[:, half_s:2 * half_s] for a in spts))
+            summed = add8(curve, left, right)
+            if m_s % 2:
+                summed = P8(*(jnp.concatenate([a, b[:, -1:]], 1)
+                              for a, b in zip(summed, spts)))
+                m_s = half_s + 1
+            else:
+                m_s = half_s
+            spts = summed
+        window_sums = P8(*(jnp.concatenate([a, b[:, :1]], axis=1)
+                           for a, b in zip(window_sums, spts)))
+        n_win = w + 1
+
+    total_dbl = c * (n_win - 1)
     DBL_UNROLL = DBL_UNROLL_N
-    win_idx = jnp.arange(w)
+    win_idx = jnp.arange(n_win)
 
     def dbl_body(acc, i_base):
         for t in range(DBL_UNROLL):
@@ -228,7 +277,7 @@ def bucket_phase8(curve: CurveSpec, points: Affine, sorted_digits,
     n_steps = (total_dbl + DBL_UNROLL - 1) // DBL_UNROLL
     acc, _ = jax.lax.scan(dbl_body, window_sums,
                           jnp.arange(n_steps) * DBL_UNROLL)
-    m = w
+    m = n_win
     pts = acc
     while m > 1:
         half = m // 2
@@ -248,22 +297,21 @@ def bucket_phase8(curve: CurveSpec, points: Affine, sorted_digits,
 def msm8(curve: CurveSpec, points: Affine, scalars_mont, c: int = 8,
          s: int = None):
     """Full MSM via the f32 bucket phase (host-synced slot bound unless
-    a static s is supplied).  Uses the sort-free rank path: the slot scatter
-    only needs (digit, rank) per point, with the identity permutation as
-    scatter values."""
+    a static s is supplied).  Signed digits + the sort-free rank path: the
+    slot scatter only needs (magnitude, sign, rank) per point, with the
+    identity permutation as scatter values."""
     from . import msm as msm_mod
     from ..curves import weierstrass as wst
     if 256 % c != 0:
         raise ValueError("window size c must divide 256")
-    digits, ranks, max_count = msm_mod._digits_and_ranks(
+    mag, signs, ranks, overflow, max_count = msm_mod._signed_digits_and_ranks(
         curve, scalars_mont, c)
     if s is None:
         s = int(max_count)
         if s == 0:
             return wst.jacobian_zero(curve, ())
-        s = min(1 << (s - 1).bit_length(), points.x.shape[0])
-        s = max(s, 16)
+        s = msm_mod._quantize_slots(s, points.x.shape[0])
     n = points.x.shape[0]
-    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
-                            digits.shape)
-    return bucket_phase8(curve, points, digits, (perm, ranks), c, s)
+    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape)
+    return bucket_phase8(curve, points, mag, (perm, ranks), c, s,
+                         signs=signs, signed=True, overflow=overflow)

@@ -106,7 +106,10 @@ def _device_constants(spec: FieldSpec):
     mds_mont = np.stack(
         [np.stack([fp.int_to_limbs(c * r % p, nl) for c in row]) for row in mds]
     )  # (T, T, nlimbs)
-    return jnp.asarray(ark_mont), jnp.asarray(mds_mont)
+    # numpy, NOT jnp: this cache is shared across jit traces, and a jnp
+    # constant materialised inside a trace is a tracer — memoising it would
+    # leak the tracer into later traces (UnexpectedTracerError)
+    return ark_mont, mds_mont
 
 
 def permute_device(spec: FieldSpec, state):
@@ -115,7 +118,8 @@ def permute_device(spec: FieldSpec, state):
     state: (..., T, NLIMBS) uint32 -> same.  Batched over leading dims; used
     by the fused jitted pipelines (transcript never leaves HBM).
     """
-    ark, mds = _device_constants(spec)
+    ark_np, mds_np = _device_constants(spec)
+    ark, mds = jnp.asarray(ark_np), jnp.asarray(mds_np)
     half = FULL_ROUNDS // 2
     n_rounds = FULL_ROUNDS + PARTIAL_ROUNDS
 

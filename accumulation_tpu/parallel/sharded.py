@@ -41,30 +41,86 @@ def _local_msm(curve: CurveSpec, points: Affine, scalars) -> Projective:
     return wst.msm_bitserial(curve, points, scalars)
 
 
-def msm_sharded(curve: CurveSpec, mesh: Mesh, points: Affine, scalars_mont
-                ) -> Projective:
+def msm_sharded(curve: CurveSpec, mesh: Mesh, points: Affine, scalars_mont,
+                c: int = None) -> Projective:
     """MSM with the point/scalar axis sharded over the mesh.
 
     points: (N,) Affine, scalars: (N, NLIMBS); N divisible by mesh size.
     Returns the full (replicated) result.
-    """
-    n_dev = mesh.devices.size
 
-    def shard_fn(px, py, pinf, sc):
-        local = _local_msm(curve, Affine(px, py, pinf), sc)
-        # gather all partial sums (n_dev points) and tree-add locally
+    Small per-shard sizes use the bit-serial kernel (one dispatch); larger
+    ones run per-shard Pippenger: phase 1 extracts per-shard digit ranks and
+    `pmax`-reduces the slot bound over the mesh (one scalar host sync, same
+    as the single-chip product path), phase 2 runs the static bucket phase
+    per shard and combines the n_dev partial sums with one `all_gather` +
+    local tree add (bytes on the wire: n_dev * 3 * limbs — pure ICI).
+    """
+    from ..ops import msm as msm_mod
+
+    n = points.x.shape[0]
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, "point count must divide the mesh"
+    n_loc = n // n_dev
+
+    if n_loc <= msm_mod.SMALL_N_THRESHOLD:
+        def shard_fn(px, py, pinf, sc):
+            local = _local_msm(curve, Affine(px, py, pinf), sc)
+            gx = jax.lax.all_gather(local.x, AXIS)
+            gy = jax.lax.all_gather(local.y, AXIS)
+            gz = jax.lax.all_gather(local.z, AXIS)
+            total = wst._tree_reduce(curve, Projective(gx, gy, gz))
+            return total.x, total.y, total.z
+
+        mapped = jax.shard_map(
+            shard_fn, mesh=mesh, check_vma=False,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS, None)),
+            out_specs=(P(), P(), P()),
+        )
+        x, y, z = mapped(points.x, points.y, points.inf, scalars_mont)
+        return Projective(x, y, z)
+
+    if c is None:
+        c = msm_mod._pick_c(n_loc)
+
+    # phase 1: per-shard signed digits/ranks + mesh-max slot bound
+    def ranks_fn(sc):
+        mag, signs, ranks, overflow, mx = msm_mod._signed_digits_and_ranks(
+            curve, sc, c)
+        return mag, signs, ranks, overflow, jax.lax.pmax(mx, AXIS)
+
+    ranks_mapped = jax.shard_map(
+        ranks_fn, mesh=mesh, check_vma=False,
+        in_specs=(P(AXIS, None),),
+        out_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS), P(AXIS), P()),
+    )
+    mag, signs, ranks, overflow, max_count = ranks_mapped(scalars_mont)
+    s = int(max_count)  # host sync (one int) — as the single-chip path does
+    if s == 0:
+        return wst.jacobian_zero(curve, ())
+    s = msm_mod._quantize_slots(s, n_loc)
+
+    # phase 2: per-shard static bucket phase + ICI combine (each shard's
+    # local result already includes its own overflow-window contribution)
+    def bucket_fn(px, py, pinf, mg, sg, rk, of):
+        perm = jnp.broadcast_to(
+            jnp.arange(n_loc, dtype=jnp.int32), mg.shape)
+        local = msm_mod._bucket_phase(
+            curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
+            signs=sg, signed=True, overflow=of)
         gx = jax.lax.all_gather(local.x, AXIS)
         gy = jax.lax.all_gather(local.y, AXIS)
         gz = jax.lax.all_gather(local.z, AXIS)
         total = wst._tree_reduce(curve, Projective(gx, gy, gz))
         return total.x, total.y, total.z
 
-    mapped = jax.shard_map(
-        shard_fn, mesh=mesh, check_vma=False,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS, None)),
+    bucket_mapped = jax.shard_map(
+        bucket_fn, mesh=mesh, check_vma=False,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS),
+                  P(None, AXIS), P(None, AXIS), P(None, AXIS), P(AXIS)),
         out_specs=(P(), P(), P()),
     )
-    x, y, z = mapped(points.x, points.y, points.inf, scalars_mont)
+    x, y, z = bucket_mapped(points.x, points.y, points.inf, mag, signs,
+                            ranks, overflow)
     return Projective(x, y, z)
 
 

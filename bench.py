@@ -1,102 +1,189 @@
-"""Flagship benchmark: Pippenger MSM throughput on the TPU.
+"""Flagship benchmark: product-path MSM + ipa_pc_as accumulation on the TPU.
 
 Prints ONE JSON line:
-  {"metric": "msm_points_per_sec", "value": N, "unit": "points/s",
-   "vs_baseline": R}
+  {"metric": "msm_points_per_sec_2e20", "value": N, "unit": "points/s",
+   "vs_baseline": R, ...extra keys...}
 
-vs_baseline is the speedup over the same kernel on this machine's CPU
-backend (the reference publishes no numbers — BASELINE.md; the Rust toolchain
-is not available in this image, so the measured stand-in baseline is the
-XLA-CPU build of the identical algorithm at a scaled-down size).
+The timed MSM is the SHIPPED entry point (`ops.msm.msm`: signed digits,
+host-synced slot bound, engine dispatch) — not a bench-only variant.
 
-Env knobs: BENCH_N (default 2^16), BENCH_REPS (3), BENCH_WINDOW_C (8),
-BENCH_SKIP_CPU=1, BENCH_N_CPU (default 2^12).
+vs_baseline: this machine has no Rust toolchain, so the recorded ratio is
+against the round-1 shipped number (38,590 points/s at 2^16, BENCH_r01.json)
+at the same size — a like-for-like progress ratio.  An absolute external
+yardstick for context: desktop-CPU arkworks Pippenger at 2^20 is
+O(10^5-10^6) points/s (see BASELINE.md; nothing published by the reference).
+
+Extra keys:
+  msm_2e16_pps / msm_2e20_pps   — product MSM throughput
+  ipa_as_prove_s / ipa_as_verify_s / ipa_as_decide_s (degree 2^20 - 1)
+  ipa_as_accumulations_per_s    — 1 / (prove + verify)
+  adds_per_s / field_muls_per_s / sol_fraction — roofline accounting for the
+      2^20 MSM: group-adds actually executed (slot sweep s*w*nb + log-agg +
+      doubling chain), 11.5 field muls per add, against an assumed 2.5e12
+      f32 FMA/s VPU ceiling at ~15k FMA per redundant-limb field mul
+      (fields/fp8.py) — a speed-of-light FRACTION estimate, not a claim.
+
+Env knobs: BENCH_N (default 2^20), BENCH_REPS (3), BENCH_WINDOW_C (8),
+BENCH_SKIP_SCHEME=1, BENCH_SCHEME_LOG_DEGREE (default 20), BENCH_SKIP_2E16=1.
 """
 
-import functools
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("ACCUM_TPU_UNROLL_CARRIES", "1")
 
 import numpy as np
 
+R01_MSM_2E16_PPS = 38590.0  # BENCH_r01.json, same machine
+
+# roofline model constants (documented estimates, not measurements)
+FMA_PER_FIELD_MUL = 15000.0   # redundant fp8 mul: 3 skew convs + passes
+MULS_PER_MIXED_ADD = 11.5
+VPU_F32_FMA_PER_S = 2.5e12    # assumed v5e VPU f32 ceiling
+
+
+def _sync(x):
+    # a small readback is the only reliable completion barrier on the
+    # relayed TPU backend (block_until_ready returns early there)
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf)
+
+
+def bench_msm(curve, n, c, reps):
+    import jax.numpy as jnp
+    from accumulation_tpu.fields import fp
+    from accumulation_tpu.ops import msm as msm_mod
+    from accumulation_tpu.pc.pedersen import _sample_points
+
+    rng = np.random.default_rng(0)
+    pts = _sample_points(curve, n, b"bench|" + str(n).encode())
+    scalars = fp.random_elements(curve.fr, rng, (n,))
+    out = msm_mod.msm(curve, pts, scalars, c=c)
+    _sync(out)  # compile + warm
+    t0 = time.time()
+    for _ in range(reps):
+        out = msm_mod.msm(curve, pts, scalars, c=c)
+        _sync(out)
+    dt = (time.time() - t0) / reps
+    # recover the slot bound the product path used (cached host sync)
+    _, _, _, _, max_count = msm_mod._signed_digits_and_ranks(
+        curve, scalars, c)
+    s = msm_mod._quantize_slots(int(max_count), n)
+    return n / dt, dt, s
+
+
+def bench_scheme(curve, log_degree):
+    """ipa_pc_as index/prove/verify/decide at degree 2^log_degree - 1."""
+    from accumulation_tpu.core.accumulation import MakeZK
+    from accumulation_tpu.fields import fp
+    from accumulation_tpu.ops import poly as poly_ops
+    from accumulation_tpu.pc import ipa_pc
+    from accumulation_tpu.schemes.ipa_pc_as import (
+        AtomicASForInnerProductArgPC, InputInstance, PredicateIndex)
+    from accumulation_tpu.core.accumulation import InstanceWitnessPair
+
+    deg = (1 << log_degree) - 1
+    rng = np.random.default_rng(1)
+    scheme = AtomicASForInnerProductArgPC(curve)
+    t0 = time.time()
+    pp = ipa_pc.setup(curve, deg)
+    pk, vk, dk = scheme.index(None, pp, PredicateIndex(deg, deg))
+    t_index = time.time() - t0
+
+    # one real opening claim as the input instance
+    coeffs = fp.random_elements(curve.fr, rng, (deg + 1,))
+    point = fp.random_elements(curve.fr, rng, ())
+    comm = ipa_pc.commit(curve, pk.ipa_ck, coeffs)
+    value = poly_ops.evaluate(curve.fr, coeffs, point)
+    proof = ipa_pc.open(curve, pk.ipa_ck, coeffs, comm, point)
+    inst = InputInstance(comm, point, value, proof)
+    inputs = [InstanceWitnessPair(inst, None)]
+
+    # warm (compile) pass, then the timed pass
+    acc, asp = scheme.prove(pk, inputs, [], MakeZK.Disabled())
+    t0 = time.time()
+    acc, asp = scheme.prove(pk, inputs, [], MakeZK.Disabled())
+    t_prove = time.time() - t0
+
+    ok = scheme.verify(vk, [inst], [], acc.instance, asp)
+    t0 = time.time()
+    ok = scheme.verify(vk, [inst], [], acc.instance, asp)
+    t_verify = time.time() - t0
+    assert ok, "flagship verify failed"
+
+    ok_d = scheme.decide(dk, acc)
+    t0 = time.time()
+    ok_d = scheme.decide(dk, acc)
+    t_decide = time.time() - t0
+    assert ok_d, "flagship decide failed"
+    return t_index, t_prove, t_verify, t_decide
+
 
 def main():
     import jax
-
     try:
         jax.config.update("jax_platforms", "axon,cpu")
     except Exception:
         pass
-    import jax.numpy as jnp
 
     import accumulation_tpu  # noqa: F401
-    from accumulation_tpu.curves import PALLAS, weierstrass as wst
-    from accumulation_tpu.fields import fp
-    from accumulation_tpu.ops import msm as msm_mod
-    from accumulation_tpu.ops import msm_lanes
-    from accumulation_tpu.pc.pedersen import _sample_points
+    from accumulation_tpu.curves import PALLAS
 
     curve = PALLAS
-    n = int(os.environ.get("BENCH_N", 1 << 16))
+    n = int(os.environ.get("BENCH_N", 1 << 20))
     reps = int(os.environ.get("BENCH_REPS", 3))
     c = int(os.environ.get("BENCH_WINDOW_C", 8))
-    rng = np.random.default_rng(0)
+    extra = {}
 
-    def run_msm(device, n_pts, reps_n, lanes: bool):
-        # lanes=True: lane-major engine (limb axis in sublanes, batch in VPU
-        # lanes) — the fast TPU path; the CPU baseline stays on the standard
-        # layout (its giant unrolled graph compiles impractically on XLA:CPU).
-        if lanes:
-            bucket = msm_lanes.bucket_phase_lanes
-        else:
-            # thin unrolls: XLA:CPU takes ~1h on the fat TPU-shaped graph
-            bucket = functools.partial(
-                msm_mod._bucket_phase, unrolls=(2, 1, 1))
-        with jax.default_device(device):
-            pts = _sample_points(curve, n_pts, b"bench|" + str(n_pts).encode())
-            scalars = fp.random_elements(curve.fr, rng, (n_pts,))
-            # fixed slot bound: uniform digits make overflow vanishingly rare
-            sorted_digits, perm, ranks, _ = msm_mod._digits_and_sort(
-                curve, scalars, c)
-            s = max(64, 2 * n_pts // (1 << c))
-            s = 1 << (s - 1).bit_length()
-            out = bucket(curve, pts, sorted_digits, (perm, ranks), c, s)
-            # a small readback is the only reliable completion barrier on the
-            # relayed TPU backend (block_until_ready returns early there)
-            np.asarray(out.x)  # compile + warm
-            t0 = time.time()
-            for _ in range(reps_n):
-                sorted_digits, perm, ranks, _ = msm_mod._digits_and_sort(
-                    curve, scalars, c)
-                out = bucket(curve, pts, sorted_digits, (perm, ranks), c, s)
-                np.asarray(out.x)
-            dt = (time.time() - t0) / reps_n
-        return n_pts / dt
+    pps_16 = None
+    if os.environ.get("BENCH_SKIP_2E16") != "1":
+        pps_16, dt16, s16 = bench_msm(curve, 1 << 16, c, reps)
+        extra["msm_2e16_pps"] = round(pps_16, 1)
+        extra["msm_2e16_slot_bound"] = s16
 
-    tpu_dev = jax.devices()[0]
-    use_lanes = os.environ.get("BENCH_LANES", "1") == "1"
-    pps = run_msm(tpu_dev, n, reps, lanes=use_lanes)
+    pps_n, dt_n, s_n = bench_msm(curve, n, c, reps)
+    extra["msm_2e20_pps" if n == 1 << 20 else f"msm_n{n}_pps"] = \
+        round(pps_n, 1)
 
-    vs_baseline = 0.0
-    if os.environ.get("BENCH_SKIP_CPU") != "1":
+    # roofline accounting for the big MSM
+    w = 256 // c
+    nb = (1 << (c - 1)) + 1
+    sweep_adds = s_n * w * nb
+    agg_adds = w * nb * (max(1, (nb - 1).bit_length()))  # suffix scan + tree
+    dbl_adds = c * (w - 1) * w
+    adds = sweep_adds + agg_adds + dbl_adds
+    adds_per_s = adds / dt_n
+    fmuls_per_s = adds_per_s * MULS_PER_MIXED_ADD
+    sol = fmuls_per_s * FMA_PER_FIELD_MUL / VPU_F32_FMA_PER_S
+    extra["msm_adds_per_s"] = round(adds_per_s, 0)
+    extra["field_muls_per_s"] = round(fmuls_per_s, 0)
+    extra["sol_fraction"] = round(sol, 4)
+
+    if os.environ.get("BENCH_SKIP_SCHEME") != "1":
+        logd = int(os.environ.get("BENCH_SCHEME_LOG_DEGREE", "20"))
         try:
-            cpu = jax.devices("cpu")[0]
-            n_cpu = int(os.environ.get("BENCH_N_CPU", 1 << 12))
-            cpu_pps = run_msm(cpu, n_cpu, 1, lanes=False)
-            vs_baseline = pps / cpu_pps
-        except Exception:
-            vs_baseline = 0.0
+            ti, tp, tv, td = bench_scheme(curve, logd)
+            extra["ipa_as_degree"] = (1 << logd) - 1
+            extra["ipa_as_index_s"] = round(ti, 2)
+            extra["ipa_as_prove_s"] = round(tp, 2)
+            extra["ipa_as_verify_s"] = round(tv, 2)
+            extra["ipa_as_decide_s"] = round(td, 2)
+            extra["ipa_as_accumulations_per_s"] = round(1.0 / (tp + tv), 4)
+        except Exception as e:  # keep the headline metric even if this fails
+            extra["ipa_as_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    print(json.dumps({
-        "metric": "msm_points_per_sec",
-        "value": round(pps, 1),
+    vs_baseline = (pps_16 / R01_MSM_2E16_PPS) if pps_16 else 0.0
+    out = {
+        "metric": "msm_points_per_sec_2e20" if n == 1 << 20
+        else f"msm_points_per_sec_n{n}",
+        "value": round(pps_n, 1),
         "unit": "points/s",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+    out.update(extra)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -126,6 +126,40 @@ def _const(arr: np.ndarray, ndim: int):
     return c.reshape((c.shape[0],) + (1,) * (ndim - 1))
 
 
+# --- constant override context (Pallas kernels) ----------------------------
+# Pallas kernel bodies may not close over materialised constants; a kernel
+# passes its constant rows in as inputs and installs them here for the
+# duration of its trace (single-threaded tracing — a plain global is fine).
+_OVERRIDE = {}
+
+
+class override_consts:
+    """with fp8.override_consts({'p8': ref_row, ...}): ... kernel body ..."""
+
+    def __init__(self, mapping):
+        self.mapping = mapping
+
+    def __enter__(self):
+        _OVERRIDE.update(self.mapping)
+        return self
+
+    def __exit__(self, *exc):
+        for k in self.mapping:
+            _OVERRIDE.pop(k, None)
+        return False
+
+
+def _getc(spec: FieldSpec, name: str, ndim: int):
+    ov = _OVERRIDE.get(name)
+    if ov is not None:
+        return ov.reshape((ov.shape[-1],) + (1,) * (ndim - 1))
+    return _const(consts8(spec)[name], ndim)
+
+
+def get_override(name: str):
+    return _OVERRIDE.get(name)
+
+
 # ---------------------------------------------------------------------------
 # carry machinery — all vectorized, no per-limb loops
 # ---------------------------------------------------------------------------
@@ -188,27 +222,119 @@ def add(spec: FieldSpec, a, b):
 
 
 def sub(spec: FieldSpec, a, b):
-    """a - b + (limb-wise-large multiple of p) + one pass."""
+    """a - b + (limb-wise-large multiple of p) + two passes.
+
+    Two passes (not one) so the <= 256 limb invariant holds: 256 is the
+    largest integer exactly representable in bfloat16, which the MXU mul
+    path relies on."""
+    pad = _getc(spec, "sub_pad", a.ndim)
+    return _pass(_pass(a - b + pad))
+
+
+# ---------------------------------------------------------------------------
+# MXU mul path: the convolutions as exact bf16 matmuls
+# ---------------------------------------------------------------------------
+#
+# Every convolution in REDC is linear in ONE data operand:
+#   * T = a (*) b         = SEL @ (rep(a) * tile(b))   — SEL is the constant
+#     0/1 anti-diagonal selection matrix over the n^2 products;
+#   * q = (t_low * p') lo = Toeplitz_low(p') @ t_low;
+#   * q*p                 = Toeplitz(p) @ q.
+# With the <= 256 limb invariant, all matrix entries and (hi, lo) product
+# splits are exact in bfloat16, products are exact in the MXU's f32
+# accumulation, and every column sum stays < 2^24 — the whole field
+# multiply becomes 4 small exact matmuls, which is both what the TPU's
+# systolic array is for and what Mosaic compiles well (the skew-reshape
+# VPU formulation below blew up Pallas compile times).
+
+
+@functools.lru_cache(maxsize=None)
+def mxu_mats(spec: FieldSpec):
+    """(SEL (2n, n*n), Tq (n, n), Tp (2n, n)) float32 numpy (bf16-exact)."""
     cs = consts8(spec)
-    pad = _const(cs["sub_pad"], a.ndim)
-    return _pass(a - b + pad)
+    n = cs["nl8"]
+    sel = np.zeros((2 * n, n * n), np.float32)
+    for i in range(n):
+        for j in range(n):
+            sel[i + j, i * n + j] = 1.0
+    pp8, p8 = cs["pp8"], cs["p8"]
+    tq = np.zeros((n, n), np.float32)
+    tp = np.zeros((2 * n, n), np.float32)
+    for k in range(n):
+        for i in range(k + 1):
+            tq[k, i] = pp8[k - i]
+    for k in range(2 * n):
+        for i in range(n):
+            if 0 <= k - i < n:
+                tp[k, i] = p8[k - i]
+    return sel, tq, tp
+
+
+def _bf16_dot(m, v):
+    """Exact matmul of a bf16-exact constant matrix with bf16-exact data.
+
+    m: (R, K), v: (K, ...batch) — contracts K, f32 accumulation."""
+    vb = v.astype(jnp.bfloat16)
+    mb = m.astype(jnp.bfloat16)
+    flat = vb.reshape(vb.shape[0], -1)
+    out = jax.lax.dot_general(
+        mb, flat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out.reshape((m.shape[0],) + v.shape[1:])
+
+
+def _mul_mxu(spec: FieldSpec, a, b, mats):
+    """MXU Montgomery product; same contract as `mul` (limbs <= 256)."""
+    sel, tq, tp = mats
+    nl8 = consts8(spec)["nl8"]
+    ar = jnp.repeat(a, nl8, axis=0)               # row i*n+j = a[i]
+    bt = jnp.concatenate([b] * nl8, axis=0)       # row i*n+j = b[j]
+    prod = ar * bt                                # <= 2^16, exact f32
+    hi = jnp.floor(prod * INV256)                 # <= 256  (bf16-exact)
+    lo = prod - hi * 256.0                        # <= 255
+    T = _bf16_dot(sel, hi) * 256.0 + _bf16_dot(sel, lo)
+
+    t_low = _norm3(T[:nl8])                       # <= 256, mod R8
+    q = _norm3(_bf16_dot(tq, t_low))              # <= 256, mod R8
+    qp = _bf16_dot(tp, q)
+
+    u = T[:nl8] + qp[:nl8]
+    c_low = jnp.floor(
+        u[nl8 - 1] * INV256
+        + u[nl8 - 2] * (INV256 ** 2)
+        + u[nl8 - 3] * (INV256 ** 3)
+        + 0.5)
+    hi_cols = T[nl8:] + qp[nl8:]
+    hi_cols = jnp.concatenate([(hi_cols[0] + c_low)[None], hi_cols[1:]],
+                              axis=0)
+    return _norm3(hi_cols)
 
 
 def mul(spec: FieldSpec, a, b):
     """Montgomery product: value(out) = value(a)*value(b)/R8 mod p,
-    out < ~1.01p + eps, limbs <= 258.  No sequential carries."""
-    cs = consts8(spec)
-    nl8 = cs["nl8"]
+    out < ~1.01p + eps, limbs <= 256.  No sequential carries.
+
+    When the override context provides "mxu_mats" (Pallas kernels / TPU),
+    the convolutions run as exact bf16 matmuls on the MXU."""
+    mx = _OVERRIDE.get("mxu_mats")
+    if mx is not None:
+        return _mul_mxu(spec, a, b, mx)
+    return _mul_vpu(spec, a, b)
+
+
+def _mul_vpu(spec: FieldSpec, a, b):
+    """Skew-reshape VPU formulation (XLA / CPU path)."""
+    nl8 = consts8(spec)["nl8"]
     T = _conv_full(a, b)  # (2n, ...), columns < 2^23
 
     t_low = _norm3(T[:nl8])  # mod R8 (top carries dropped — allowed)
-    ppc = _const(cs["pp8"], t_low.ndim)
+    ppc = _getc(spec, "pp8", t_low.ndim)
     q_prod = t_low[:, None] * ppc[None, :]  # (n, n, ...)
     # q = (t_low * p') mod R8: full skew then truncate to n columns
     q_cols = _skew_sum(q_prod)[:nl8]
     q = _norm3(q_cols)  # limbs <= 258, value < 1.008*R8
 
-    pc = _const(cs["p8"], q.ndim)
+    pc = _getc(spec, "p8", q.ndim)
     qp = _conv_full(q, jnp.broadcast_to(pc, q.shape))  # (2n, ...)
 
     # exact low-half carry: (T + q*p) mod R8 == 0, so the carry into limb n
@@ -221,7 +347,8 @@ def mul(spec: FieldSpec, a, b):
         + 0.5)
 
     hi = T[nl8:] + qp[nl8:]
-    hi = hi.at[0].add(c_low)
+    # concat, not .at[].add — scatter-add has no Mosaic (Pallas TPU) lowering
+    hi = jnp.concatenate([(hi[0] + c_low)[None], hi[1:]], axis=0)
     return _norm3(hi)
 
 

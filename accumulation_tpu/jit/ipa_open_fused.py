@@ -237,8 +237,7 @@ def open_fused(curve: CurveSpec, ck, coeffs, comm: Affine, point,
     if overflow:
         # statically-bounded Pippenger slots overflowed (≈ never for
         # pseudo-random folds) — recompute exactly on the host path
-        return ipa_pc.open(curve, ck, coeffs[:n0], comm, point, rand=rand,
-                           hiding=False,
-                           sponge=(sponge.clone() if sponge is not None
-                                   else None))
+        return ipa_pc.open_host(
+            curve, ck, coeffs[:n0], comm, point, rand=rand, hiding=False,
+            sponge=(sponge.clone() if sponge is not None else None))
     return proof

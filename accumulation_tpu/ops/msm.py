@@ -218,7 +218,7 @@ def _signed_digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
     pad = (-n) % ch
     nb_pad = n + pad
 
-    def per_window(_, dw):
+    def per_window(dw):
         dpad = jnp.concatenate([dw, jnp.full((pad,), -1, jnp.int32)]) \
             if pad else dw
         onehot = (dpad[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
@@ -232,10 +232,17 @@ def _signed_digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
             incl[:n], jnp.clip(dw[:, None], 0, nb - 1), axis=1)[:, 0] - 1
         counts = incl[n - 1]
         wmax = jnp.max(counts[1:]) if nb > 1 else jnp.int32(0)
-        return None, (rank, wmax)
+        return rank, wmax
 
-    _, (ranks, wmaxes) = jax.lax.scan(per_window, None, mag)
-    return mag, signs, ranks, overflow, jnp.max(wmaxes)
+    # windows in vmapped groups: W sequential HBM-heavy one-hot cumsums
+    # become W/G parallel batches (group size bounds the materialised
+    # one-hot at G * N * nb * 4 bytes — ~2 GB at 2^20/c=8)
+    g = 4 if w % 4 == 0 else 1
+    _, (ranks, wmaxes) = jax.lax.scan(
+        lambda _, dg: (None, jax.vmap(per_window)(dg)),
+        None, mag.reshape(w // g, g, n))
+    return (mag, signs, ranks.reshape(w, n), overflow,
+            jnp.max(wmaxes))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8))

@@ -24,6 +24,11 @@ import os as _os
 _ON_CPU = "cpu" in _os.environ.get("JAX_PLATFORMS", "")
 SWEEP_CHUNK = 2 if _ON_CPU else 8
 DBL_UNROLL_N = 1 if _ON_CPU else 8
+# Pallas sweep kernel (ops/msm_pallas.py): opt-in.  Measured on the v5e
+# (2^16, c=8, s=1280): 2.1 s bucket phase at its best tuning vs ~0.8 s for
+# the u32 XLA sweep — the MXU conv-as-matmul formulation amplifies work 78x
+# (selection matrix), so it stays an experiment (see msm_pallas docstring).
+_PALLAS_SWEEP = _os.environ.get("ACCUM_TPU_PALLAS_SWEEP", "0") == "1"
 
 from ..curves.weierstrass import Affine, CurveSpec, Projective
 from ..fields import fp, fp8
@@ -48,6 +53,9 @@ def zero8(curve: CurveSpec, shape=()) -> P8:
 
 
 def _b3(curve: CurveSpec, ref):
+    ov = fp8.get_override("b3")
+    if ov is not None:
+        return ov.reshape((ov.shape[-1],) + (1,) * (ref.ndim - 1))
     return fp8.const8(curve.fq, 3 * curve.b % curve.fq.modulus, ref.ndim)
 
 
@@ -142,7 +150,6 @@ def dbl8(curve: CurveSpec, p: P8) -> P8:
     return P8(X3, Y3, Z3)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8))
 def bucket_phase8(curve: CurveSpec, points: Affine, sorted_digits,
                   perm_ranks, c: int, s: int, stage: str = "full",
                   signs=None, signed: bool = False, overflow=None):
@@ -152,7 +159,157 @@ def bucket_phase8(curve: CurveSpec, points: Affine, sorted_digits,
     signed: digits are magnitudes in [0, 2^(c-1)], `signs` (W, N) selects
     the negated point (see msm._signed_digits_and_ranks).
     overflow: optional (N,) bool — k+r recode carries, folded in as a
-    2^256-weighted extra window via a masked log-depth tree-sum."""
+    2^256-weighted extra window via a masked log-depth tree-sum.
+
+    With the Pallas sweep enabled the three stages run as SEPARATE jitted
+    graphs (prepare / sweep / combine) — the remote TPU compile helper has
+    been OOM-killed on the monolithic module."""
+    if _PALLAS_SWEEP and stage == "full":
+        from . import msm_pallas
+        n = perm_ranks[0].shape[-1]
+        slots_t, px, py, pinf = _prepare8(
+            curve, points, sorted_digits, perm_ranks, c, s,
+            signs=signs, signed=signed)
+        buckets = msm_pallas.sweep_pallas(
+            curve, px, py, pinf, slots_t, s, n, msm_pallas.CHUNK)
+        return _combine8(curve, points, buckets, c, overflow)
+    return _bucket_phase8_xla(curve, points, sorted_digits, perm_ranks,
+                              c, s, stage, signs, signed, overflow)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 7))
+def _prepare8(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
+              c: int, s: int, signs=None, signed: bool = False):
+    """Slot matrix + fp8 point tables (stage 1 of the Pallas path)."""
+    perm, ranks = perm_ranks
+    nbits = sorted_digits.shape[0] * c
+    w = nbits // c
+    nb = ((1 << (c - 1)) + 1) if signed else (1 << c)
+    n = perm.shape[-1]
+
+    valid = (sorted_digits > 0) & (ranks < s)
+    lin_idx = (jnp.arange(w)[:, None] * (nb * s) + sorted_digits * s
+               + jnp.clip(ranks, 0, s - 1))
+    lin_idx = jnp.where(valid, lin_idx, w * nb * s)
+    scatter_vals = perm.astype(jnp.int32)
+    if signed:
+        scatter_vals = scatter_vals + (n + 1) * signs.astype(jnp.int32)
+    slot_flat = jnp.full((w * nb * s + 1,), n, dtype=jnp.int32)
+    slot_flat = slot_flat.at[lin_idx.reshape(-1)].set(
+        scatter_vals.reshape(-1), mode="drop")
+    slots = slot_flat[: w * nb * s].reshape(w, nb, s)
+
+    nl8 = fp8.NL8(curve.fq)
+    px = jnp.concatenate(
+        [fp8.to8(curve.fq, points.x), jnp.zeros((nl8, 1), fp8.F32)], axis=1)
+    py = jnp.concatenate(
+        [fp8.to8(curve.fq, points.y), jnp.zeros((nl8, 1), fp8.F32)], axis=1)
+    pinf = jnp.concatenate([points.inf, jnp.ones((1,), bool)], axis=0)
+    if signed:
+        py_neg = jnp.concatenate(
+            [fp8.to8(curve.fq, fp.neg(curve.fq, points.y)),
+             jnp.zeros((nl8, 1), fp8.F32)], axis=1)
+        px = jnp.concatenate([px, px], axis=1)
+        py = jnp.concatenate([py, py_neg], axis=1)
+        pinf = jnp.concatenate([pinf, pinf], axis=0)
+    return jnp.transpose(slots, (2, 0, 1)), px, py, pinf
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _combine8(curve: CurveSpec, points: Affine, buckets: P8, c: int,
+              overflow=None) -> Projective:
+    """Aggregation + overflow window + window combine (stage 3).
+
+    Same algorithm as the tail of `_bucket_phase8_xla` (log-depth suffix
+    aggregation, masked overflow tree, batched doubling chains)."""
+    w, nb = buckets.x.shape[1], buckets.x.shape[2]
+    n = points.x.shape[0]
+    f = curve.fq
+
+    def to_u32_proj(p8: P8) -> Projective:
+        return Projective(fp8.from8(f, p8.x), fp8.from8(f, p8.y),
+                          fp8.from8(f, p8.z))
+
+    bpos = P8(buckets.x[:, :, 1:], buckets.y[:, :, 1:], buckets.z[:, :, 1:])
+    rev = P8(bpos.x[..., ::-1], bpos.y[..., ::-1], bpos.z[..., ::-1])
+    suf = jax.lax.associative_scan(
+        lambda p, q: add8(curve, p, q), rev, axis=2)
+    m_ax = nb - 1
+    pts_agg = suf
+    while m_ax > 1:
+        half_ax = m_ax // 2
+        left = P8(*(t[..., :half_ax] for t in pts_agg))
+        right = P8(*(t[..., half_ax:2 * half_ax] for t in pts_agg))
+        summed = add8(curve, left, right)
+        if m_ax % 2:
+            summed = P8(*(jnp.concatenate([a, b[..., -1:]], axis=-1)
+                          for a, b in zip(summed, pts_agg)))
+            m_ax = half_ax + 1
+        else:
+            m_ax = half_ax
+        pts_agg = summed
+    window_sums = P8(pts_agg.x[..., 0], pts_agg.y[..., 0], pts_agg.z[..., 0])
+
+    n_win = w
+    if overflow is not None:
+        one8v = fp8.one(f, (n,))
+        live = (overflow & ~points.inf)[None, :]
+        sx = jnp.where(live, fp8.to8(f, points.x), 0.0)
+        sy = jnp.where(live, fp8.to8(f, points.y), one8v)
+        sz = jnp.where(live, one8v, jnp.zeros_like(one8v))
+        spts = P8(sx, sy, sz)
+        m_s = n
+        while m_s > 1:
+            half_s = m_s // 2
+            left = P8(*(a[:, :half_s] for a in spts))
+            right = P8(*(a[:, half_s:2 * half_s] for a in spts))
+            summed = add8(curve, left, right)
+            if m_s % 2:
+                summed = P8(*(jnp.concatenate([a, b[:, -1:]], 1)
+                              for a, b in zip(summed, spts)))
+                m_s = half_s + 1
+            else:
+                m_s = half_s
+            spts = summed
+        window_sums = P8(*(jnp.concatenate([a, b[:, :1]], axis=1)
+                           for a, b in zip(window_sums, spts)))
+        n_win = w + 1
+
+    total_dbl = c * (n_win - 1)
+    win_idx = jnp.arange(n_win)
+
+    def dbl_body(acc, i_base):
+        for t in range(DBL_UNROLL_N):
+            i = i_base + t
+            mask = i < (c * win_idx)
+            acc = where8(mask, dbl8(curve, acc), acc)
+        return acc, None
+
+    n_steps = (total_dbl + DBL_UNROLL_N - 1) // DBL_UNROLL_N
+    acc, _ = jax.lax.scan(dbl_body, window_sums,
+                          jnp.arange(n_steps) * DBL_UNROLL_N)
+    m = n_win
+    pts = acc
+    while m > 1:
+        half = m // 2
+        left = P8(*(a[:, :half] for a in pts))
+        right = P8(*(a[:, half:2 * half] for a in pts))
+        summed = add8(curve, left, right)
+        if m % 2:
+            summed = P8(*(jnp.concatenate([a, b[:, -1:]], 1)
+                          for a, b in zip(summed, pts)))
+            m = half + 1
+        else:
+            m = half
+        pts = summed
+    return to_u32_proj(P8(pts.x[:, 0], pts.y[:, 0], pts.z[:, 0]))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8))
+def _bucket_phase8_xla(curve: CurveSpec, points: Affine, sorted_digits,
+                       perm_ranks, c: int, s: int, stage: str = "full",
+                       signs=None, signed: bool = False, overflow=None):
+    """Single-graph XLA variant (profiling stages + non-Pallas fallback)."""
     perm, ranks = perm_ranks
     nbits = sorted_digits.shape[0] * c
     w = nbits // c

@@ -37,6 +37,7 @@ product.
 from __future__ import annotations
 
 import functools
+import os as _os
 from dataclasses import dataclass
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -272,7 +273,25 @@ def open(curve: CurveSpec, ck: CommitterKey, coeffs, comm: Affine, point,
 
     coeffs: (deg+1, L); comm: the commitment the verifier holds (including
     any rand*s term); rand: the total commitment randomness (revealed).
+
+    Non-hiding opens route to the fused on-device prover
+    (jit/ipa_open_fused.py): identical transcript on the device sponge,
+    zero host round-trips in the log-n folding loop (the reference's
+    ⟵⟵HOT path, /root/reference/src/ipa_pc_as/mod.rs:424-472).  Set
+    ACCUM_TPU_FUSED_OPEN=0 to force the host-sponge path.
     """
+    if not hiding and _os.environ.get("ACCUM_TPU_FUSED_OPEN", "1") == "1":
+        from ..jit import ipa_open_fused
+        return ipa_open_fused.open_fused(
+            curve, ck, coeffs, comm, point, rand=rand, sponge=sponge)
+    return open_host(curve, ck, coeffs, comm, point, rand=rand,
+                     hiding=hiding, rng=rng, sponge=sponge)
+
+
+def open_host(curve: CurveSpec, ck: CommitterKey, coeffs, comm: Affine, point,
+              rand=None, hiding: bool = False, rng=None,
+              sponge: Optional[PoseidonSponge] = None) -> Proof:
+    """Host-sponge opening prover (hiding path + fused cross-check oracle)."""
     fr = curve.fr
     sponge = sponge or domain_sponge(curve.fq, IPA_PC_DOMAIN)
     value = poly_ops.evaluate(fr, coeffs, point)

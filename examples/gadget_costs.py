@@ -9,10 +9,13 @@ nark DummyCircuit 5 inputs / 10 constraints — SURVEY.md §4 tier 2).
 
 Output: a markdown table (stdout), checked into docs/PARITY.md.
 Run: python examples/gadget_costs.py  (CPU backend is fine — counts are
-circuit sizes, independent of the execution backend).
+circuit sizes, independent of the execution backend).  With no argument it
+spawns one fresh interpreter per scheme — XLA:CPU deterministically
+segfaults on heavy late compiles in loaded processes (CLAUDE.md).
 """
 
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -21,8 +24,10 @@ os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
 
 import numpy as np
 
+ALL_SCHEMES = ("hp_as", "trivial_pc_as", "ipa_pc_as", "r1cs_nark_as")
 
-def main():
+
+def main(only=None):
     import jax
     try:
         jax.config.update("jax_platforms", "cpu")
@@ -47,56 +52,76 @@ def main():
         rows.append((name, counts))
         return counts
 
-    # hp_as at vec_len 11 (reference src/hp_as/mod.rs:928-1152 test shape)
-    from accumulation_tpu.schemes.hp_as import ASForHadamardProducts
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "tests"))
-    from test_hp_as import make_input_gen as hp_gen, VEC_LEN
-    scheme = ASForHadamardProducts(curve)
-    pk, vk, dk = scheme.index(None, None, VEC_LEN)
-    profile("hp_as", scheme, pk, vk, hp_gen(curve, pk, rng, False))
 
-    # trivial_pc_as at degree 11 (reference src/trivial_pc_as/mod.rs:635-795)
-    from accumulation_tpu.schemes.trivial_pc_as import ASForTrivialPC
-    from test_trivial_pc_as import make_input_gen as tpc_gen, DEGREE as TDEG
-    from accumulation_tpu.pc import trivial_pc
-    scheme = ASForTrivialPC(curve)
-    pp = trivial_pc.setup(curve, TDEG)
-    pk, vk, dk = scheme.index(None, pp, TDEG)
-    profile("trivial_pc_as", scheme, pk, vk, tpc_gen(curve, pk, rng))
-
-    # ipa_pc_as at degree 11 (reference src/ipa_pc_as/mod.rs:859-1112)
-    from accumulation_tpu.schemes.ipa_pc_as import (
-        AtomicASForInnerProductArgPC, PredicateIndex)
-    from test_ipa_pc_as import make_input_gen as ipa_gen, DEGREE as IDEG
-    from accumulation_tpu.pc import ipa_pc
-    scheme = AtomicASForInnerProductArgPC(curve)
-    pp = ipa_pc.setup(curve, IDEG)
-    pk, vk, dk = scheme.index(None, pp, PredicateIndex(IDEG, IDEG))
-    profile("ipa_pc_as", scheme, pk, vk, ipa_gen(curve, pk, rng, False))
-
-    # r1cs_nark_as over DummyCircuit (reference src/r1cs_nark_as/mod.rs:1115+)
-    from accumulation_tpu.schemes.r1cs_nark import R1CSNark
-    from accumulation_tpu.schemes.r1cs_nark_as import ASForR1CSNark
-    from test_r1cs_nark import DummyCircuit
-    from test_r1cs_nark_as import (NUM_CONSTRAINTS, NUM_VARIABLES,
-                                   make_input_gen as nark_gen)
-    scheme = ASForR1CSNark(curve)
-    nark = R1CSNark(curve)
-    ipk, ivk = nark.index(DummyCircuit(
-        num_variables=NUM_VARIABLES, num_constraints=NUM_CONSTRAINTS))
-    pk, vk, dk = scheme.index(None, None, (ipk, ivk))
-    profile("r1cs_nark_as", scheme, pk, vk,
-            nark_gen(curve, nark, ipk, rng, False))
+    if only == "hp_as":
+        # hp_as at vec_len 11 (reference src/hp_as/mod.rs:928-1152)
+        from accumulation_tpu.schemes.hp_as import ASForHadamardProducts
+        from test_hp_as import make_input_gen as hp_gen, VEC_LEN
+        scheme = ASForHadamardProducts(curve)
+        pk, vk, dk = scheme.index(None, None, VEC_LEN)
+        profile("hp_as", scheme, pk, vk, hp_gen(curve, pk, rng, False))
+    elif only == "trivial_pc_as":
+        # trivial_pc_as at degree 11 (reference src/trivial_pc_as/mod.rs:635+)
+        from accumulation_tpu.schemes.trivial_pc_as import ASForTrivialPC
+        from test_trivial_pc_as import make_input_gen as tpc_gen, DEGREE as TDEG
+        from accumulation_tpu.pc import trivial_pc
+        scheme = ASForTrivialPC(curve)
+        pp = trivial_pc.setup(curve, TDEG)
+        pk, vk, dk = scheme.index(None, pp, TDEG)
+        profile("trivial_pc_as", scheme, pk, vk, tpc_gen(curve, pk, rng))
+    elif only == "ipa_pc_as":
+        # ipa_pc_as at degree 11 (reference src/ipa_pc_as/mod.rs:859-1112)
+        from accumulation_tpu.schemes.ipa_pc_as import (
+            AtomicASForInnerProductArgPC, PredicateIndex)
+        from test_ipa_pc_as import make_input_gen as ipa_gen, DEGREE as IDEG
+        from accumulation_tpu.pc import ipa_pc
+        scheme = AtomicASForInnerProductArgPC(curve)
+        pp = ipa_pc.setup(curve, IDEG)
+        pk, vk, dk = scheme.index(None, pp, PredicateIndex(IDEG, IDEG))
+        profile("ipa_pc_as", scheme, pk, vk, ipa_gen(curve, pk, rng, False))
+    elif only == "r1cs_nark_as":
+        # r1cs_nark_as over DummyCircuit (reference src/r1cs_nark_as/mod.rs:1115+)
+        from accumulation_tpu.schemes.r1cs_nark import R1CSNark
+        from accumulation_tpu.schemes.r1cs_nark_as import ASForR1CSNark
+        from test_r1cs_nark import DummyCircuit
+        from test_r1cs_nark_as import (NUM_CONSTRAINTS, NUM_VARIABLES,
+                                       make_input_gen as nark_gen)
+        scheme = ASForR1CSNark(curve)
+        nark = R1CSNark(curve)
+        ipk, ivk = nark.index(DummyCircuit(
+            num_variables=NUM_VARIABLES, num_constraints=NUM_CONSTRAINTS))
+        pk, vk, dk = scheme.index(None, None, (ipk, ivk))
+        profile("r1cs_nark_as", scheme, pk, vk,
+                nark_gen(curve, nark, ipk, rng, False))
+    else:
+        raise SystemExit(f"unknown scheme {only}")
 
     cols = ["input_instances", "old_accumulators", "new_accumulator",
             "proof", "verify", "total"]
-    print("| gadget | " + " | ".join(cols) + " |")
-    print("|---|" + "---|" * len(cols))
     for name, counts in rows:
         print(f"| {name} | " + " | ".join(
-            f"{counts[c]:,}" for c in cols) + " |")
+            f"{counts[c]:,}" for c in cols) + " |", flush=True)
+
+
+COLS = ["input_instances", "old_accumulators", "new_accumulator",
+        "proof", "verify", "total"]
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        main(sys.argv[1])
+    else:
+        # one fresh interpreter per scheme (XLA:CPU segfault mitigation)
+        print("| gadget | " + " | ".join(COLS) + " |")
+        print("|---|" + "---|" * len(COLS))
+        for name in ALL_SCHEMES:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                capture_output=True, text=True, timeout=7200)
+            for line in out.stdout.splitlines():
+                if line.startswith("|"):
+                    print(line, flush=True)
+            if out.returncode != 0:
+                print(f"| {name} | ERROR rc={out.returncode} |", flush=True)

@@ -20,6 +20,17 @@ from accumulation_tpu.core.accumulation import InstanceWitnessPair, MakeZK
 NUM_ITERATIONS = int(os.environ.get("ACCUM_TEST_ITERS", "2"))
 
 
+def pinned_iters(default: int) -> int:
+    """Iteration count for chain shapes that pin a cheap default in CI.
+
+    An explicit ACCUM_TEST_ITERS always wins, so the 50-deep nightly run
+    (reference NUM_ITERATIONS, /root/reference/src/lib.rs:273) exercises
+    every shape at full depth."""
+    if "ACCUM_TEST_ITERS" in os.environ:
+        return int(os.environ["ACCUM_TEST_ITERS"])
+    return default
+
+
 def test_template(scheme, keys, generate_inputs, num_inputs_per_iteration,
                   make_zk, rng, num_iterations=None, sponge=None):
     """Returns True iff every verify and decide in the chain passed."""

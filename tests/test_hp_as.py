@@ -68,8 +68,9 @@ SHAPES = {
 def test_chain(setup, rng, shape_name, make_zk):
     curve, scheme, keys = setup
     gen = make_input_gen(curve, keys[0], rng, make_zk)
-    iters = 1 if shape_name in ("no_inputs_init", "multiple_inputs_accumulation",
-                                "accumulators_only") else None
+    iters = harness.pinned_iters(1) if shape_name in (
+        "no_inputs_init", "multiple_inputs_accumulation",
+        "accumulators_only") else None
     assert harness.test_template(
         scheme, keys, gen, SHAPES[shape_name], make_zk=make_zk, rng=rng,
         num_iterations=iters,

@@ -66,7 +66,8 @@ def test_chain(setup, rng, shape_name, make_zk):
     if shape_name == "no_inputs_init" and make_zk:
         pass  # zk with zero inputs accumulates just the randomizer
     gen = make_input_gen(curve, keys[0], rng, make_zk)
-    iters = 1
+    # each IPA prove is a full open — pin 1 iteration in CI
+    iters = harness.pinned_iters(1)
     assert harness.test_template(
         scheme, keys, gen, SHAPES[shape_name], make_zk=make_zk, rng=rng,
         num_iterations=iters,

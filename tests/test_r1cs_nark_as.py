@@ -67,7 +67,7 @@ def test_chain(setup, rng, shape_name, make_zk):
     gen = make_input_gen(curve, nark, ipk, rng, make_zk)
     assert harness.test_template(
         scheme, keys, gen, SHAPES[shape_name], make_zk=make_zk, rng=rng,
-        num_iterations=1,
+        num_iterations=harness.pinned_iters(1),
     )
 
 

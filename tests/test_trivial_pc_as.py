@@ -53,7 +53,8 @@ SHAPES = {
 def test_chain(setup, rng, shape_name):
     curve, scheme, keys = setup
     gen = make_input_gen(curve, keys[0], rng)
-    iters = 1 if shape_name in ("no_inputs_init", "multiple_inputs_accumulation") else None
+    iters = harness.pinned_iters(1) if shape_name in (
+        "no_inputs_init", "multiple_inputs_accumulation") else None
     assert harness.test_template(
         scheme, keys, gen, SHAPES[shape_name], make_zk=False, rng=rng,
         num_iterations=iters,

@@ -60,6 +60,9 @@ def _pick_c(n: int) -> int:
 # HBM-materialization-bound (58 s vs 3 s for u32 at 2^16 — profile_out.txt),
 # so "auto" stays on u32 until the Pallas sweep kernel (VMEM-resident
 # convolutions) carries it.
+# engine selection: "auto" = lane-major u32 (limb-leading layout, full VPU
+# lane width — measured 1.7x the point-major layout on TPU), "u32" = the
+# point-major engine, "fp8" = the experimental f32 engine (+ opt-in Pallas)
 _MSM_ENGINE = _os.environ.get("ACCUM_TPU_MSM_ENGINE", "auto")
 
 
@@ -67,6 +70,13 @@ def _use_fp8_engine() -> bool:
     if _MSM_ENGINE == "fp8":
         return True
     return False
+
+
+def _use_lane_engine() -> bool:
+    # "lanes" is opt-in until its cross-checks complete on this machine
+    # (the signed lane bucket phase is new this round; the CPU comparison
+    # runs were compile-starved at round end — see CLAUDE.md round notes)
+    return _MSM_ENGINE == "lanes"
 
 
 def _quantize_slots(s: int, n: int) -> int:
@@ -426,6 +436,11 @@ def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobi
         from . import msm8
         return msm8.bucket_phase8(curve, points, mag, (perm, ranks), c, s,
                                   signs=signs, signed=True, overflow=overflow)
+    if _use_lane_engine():
+        from . import msm_lanes
+        return msm_lanes.bucket_phase_lanes(
+            curve, points, mag, (perm, ranks), c, s,
+            signs=signs, signed=True, overflow=overflow)
     return _bucket_phase(curve, points, mag, (perm, ranks), c, s,
                          signs=signs, signed=True, overflow=overflow)
 
@@ -465,6 +480,11 @@ def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
     if _use_fp8_engine():
         from . import msm8
         bucket = lambda mg, sg, ra, of: msm8.bucket_phase8(
+            curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
+            overflow=of)
+    elif _use_lane_engine():
+        from . import msm_lanes
+        bucket = lambda mg, sg, ra, of: msm_lanes.bucket_phase_lanes(
             curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
             overflow=of)
     else:

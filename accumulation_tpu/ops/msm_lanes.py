@@ -17,6 +17,11 @@ from ..curves.weierstrass import Affine, CurveSpec
 from ..fields import fp, fp_lanes as fl
 from ..fields.fp import NLIMBS, DTYPE
 
+import os as _os
+_ON_CPU = "cpu" in _os.environ.get("JAX_PLATFORMS", "")
+SWEEP_CHUNK = 2 if _ON_CPU else 16
+DBL_UNROLL = 1 if _ON_CPU else 8
+
 
 class PL(NamedTuple):  # projective, lane-major: (NLIMBS, ...)
     x: jnp.ndarray
@@ -131,38 +136,54 @@ def where_l(cond, a: PL, b: PL) -> PL:
               jnp.where(c, a.z, b.z))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8))
 def bucket_phase_lanes(curve: CurveSpec, points: Affine, sorted_digits,
-                       perm_ranks, c: int, s: int, stage: str = "full"):
+                       perm_ranks, c: int, s: int, stage: str = "full",
+                       signs=None, signed: bool = False, overflow=None):
     """Lane-major bucket phase; returns a standard Projective (uint32).
 
-    stage: "sweep" returns after the slot sweep (bucket accumulators),
-    "agg" after per-window aggregation, "full" (default) the MSM result —
-    profiling hooks for attributing time across the three phases."""
+    Mirrors ops/msm.py `_bucket_phase` (signed digits, overflow window,
+    log-depth aggregation) with all tensors transposed limb-major so group
+    arithmetic runs at full VPU lane width — the 1.7x layout win measured
+    in round 1, now on the product path.
+
+    stage: "sweep" returns after the slot sweep, "agg" after per-window
+    aggregation, "full" (default) the MSM result."""
     from ..curves.weierstrass import Projective
     perm, ranks = perm_ranks
     w = 256 // c
-    nb = 1 << c
+    nb = ((1 << (c - 1)) + 1) if signed else (1 << c)
     n = perm.shape[-1]
 
     valid = (sorted_digits > 0) & (ranks < s)
     lin_idx = (jnp.arange(w)[:, None] * (nb * s) + sorted_digits * s
                + jnp.clip(ranks, 0, s - 1))
     lin_idx = jnp.where(valid, lin_idx, w * nb * s)
+    scatter_vals = perm.astype(jnp.int32)
+    if signed:
+        # fold the sign into the table index: negated points live at +n+1
+        scatter_vals = scatter_vals + (n + 1) * signs.astype(jnp.int32)
     slot_flat = jnp.full((w * nb * s + 1,), n, dtype=jnp.int32)
     slot_flat = slot_flat.at[lin_idx.reshape(-1)].set(
-        perm.reshape(-1).astype(jnp.int32), mode="drop")
+        scatter_vals.reshape(-1), mode="drop")
     slots = slot_flat[: w * nb * s].reshape(w, nb, s)
 
-    # lane-major point tables with sentinel
+    # lane-major point tables with sentinel (and negated copies if signed)
     px = jnp.concatenate(
         [fl.to_lanes(points.x), jnp.zeros((NLIMBS, 1), DTYPE)], axis=1)
     py = jnp.concatenate(
         [fl.to_lanes(points.y), jnp.zeros((NLIMBS, 1), DTYPE)], axis=1)
     pinf = jnp.concatenate([points.inf, jnp.ones((1,), bool)], axis=0)
+    if signed:
+        py_neg = jnp.concatenate(
+            [fl.to_lanes(fp.neg(curve.fq, points.y)),
+             jnp.zeros((NLIMBS, 1), DTYPE)], axis=1)
+        px = jnp.concatenate([px, px], axis=1)
+        py = jnp.concatenate([py, py_neg], axis=1)
+        pinf = jnp.concatenate([pinf, pinf], axis=0)
 
     slots_t = jnp.transpose(slots, (2, 0, 1))  # (S, W, NB)
-    chunk = min(s, 16)
+    chunk = min(s, SWEEP_CHUNK)
     assert s % chunk == 0
     slots_c = slots_t.reshape(s // chunk, chunk, w, nb)
 
@@ -176,36 +197,66 @@ def bucket_phase_lanes(curve: CurveSpec, points: Affine, sorted_digits,
     init = zero_l(curve, (w, nb))
     buckets, _ = jax.lax.scan(body, init, slots_c)
     if stage == "sweep":
-        return Projective(fl.from_lanes(buckets.x[:, 0]),
-                          fl.from_lanes(buckets.y[:, 0]),
-                          fl.from_lanes(buckets.z[:, 0]))
+        return Projective(fl.from_lanes(buckets.x[:, :, 0]),
+                          fl.from_lanes(buckets.y[:, :, 0]),
+                          fl.from_lanes(buckets.z[:, :, 0]))
 
-    AGG_UNROLL = 8
-    pad_agg = (-(nb - 1)) % AGG_UNROLL
-    order = jnp.concatenate(
-        [jnp.arange(nb - 1, 0, -1), jnp.zeros((pad_agg,), jnp.int32)])
-    order = order.reshape(-1, AGG_UNROLL)
-
-    def agg_body(carry, vs):
-        running, total = carry
-        for t in range(AGG_UNROLL):
-            v = vs[t]
-            valid_v = jnp.broadcast_to(v > 0, (w,))
-            bv = PL(buckets.x[:, :, v], buckets.y[:, :, v], buckets.z[:, :, v])
-            running = where_l(valid_v, add_l(curve, running, bv), running)
-            total = where_l(valid_v, add_l(curve, total, running), total)
-        return (running, total), None
-
-    init_agg = (zero_l(curve, (w,)), zero_l(curve, (w,)))
-    (_, window_sums), _ = jax.lax.scan(agg_body, init_agg, order)
+    # per-window weighted aggregation, log-depth (see ops/msm.py):
+    # sum_{v>=1} v*B_v = sum_k S_k, S_k = suffix sums via associative scan
+    bpos = PL(buckets.x[:, :, 1:], buckets.y[:, :, 1:], buckets.z[:, :, 1:])
+    rev = PL(bpos.x[..., ::-1], bpos.y[..., ::-1], bpos.z[..., ::-1])
+    suf = jax.lax.associative_scan(
+        lambda p, q: add_l(curve, PL(*p), PL(*q)), tuple(rev), axis=2)
+    m_ax = nb - 1
+    pts_agg = PL(*suf)
+    while m_ax > 1:
+        half_ax = m_ax // 2
+        left = PL(*(t[..., :half_ax] for t in pts_agg))
+        right = PL(*(t[..., half_ax:2 * half_ax] for t in pts_agg))
+        summed = add_l(curve, left, right)
+        if m_ax % 2:
+            summed = PL(*(jnp.concatenate([a, b[..., -1:]], axis=-1)
+                          for a, b in zip(summed, pts_agg)))
+            m_ax = half_ax + 1
+        else:
+            m_ax = half_ax
+        pts_agg = summed
+    window_sums = PL(pts_agg.x[..., 0], pts_agg.y[..., 0], pts_agg.z[..., 0])
     if stage == "agg":
         return Projective(fl.from_lanes(window_sums.x),
                           fl.from_lanes(window_sums.y),
                           fl.from_lanes(window_sums.z))
 
-    total_dbl = c * (w - 1)
-    DBL_UNROLL = 8
-    win_idx = jnp.arange(w)
+    # overflow window (k+r recode carry): 2^256 * sum of flagged points,
+    # appended as window index W (doubling count c*W == 256)
+    n_win = w
+    if overflow is not None:
+        one_l = jnp.broadcast_to(
+            jnp.asarray(curve.fq.one_mont, DTYPE).reshape(NLIMBS, 1),
+            (NLIMBS, n))
+        live = (overflow & ~points.inf)[None, :]
+        spts = PL(jnp.where(live, fl.to_lanes(points.x), 0),
+                  jnp.where(live, fl.to_lanes(points.y), one_l),
+                  jnp.where(live, one_l, jnp.zeros_like(one_l)))
+        m_s = n
+        while m_s > 1:
+            half_s = m_s // 2
+            left = PL(*(a[:, :half_s] for a in spts))
+            right = PL(*(a[:, half_s:2 * half_s] for a in spts))
+            summed = add_l(curve, left, right)
+            if m_s % 2:
+                summed = PL(*(jnp.concatenate([a, b[:, -1:]], 1)
+                              for a, b in zip(summed, spts)))
+                m_s = half_s + 1
+            else:
+                m_s = half_s
+            spts = summed
+        window_sums = PL(*(jnp.concatenate([a, b[:, :1]], axis=1)
+                           for a, b in zip(window_sums, spts)))
+        n_win = w + 1
+
+    total_dbl = c * (n_win - 1)
+    win_idx = jnp.arange(n_win)
 
     def dbl_body(acc, i_base):
         for t in range(DBL_UNROLL):
@@ -217,7 +268,7 @@ def bucket_phase_lanes(curve: CurveSpec, points: Affine, sorted_digits,
     n_steps = (total_dbl + DBL_UNROLL - 1) // DBL_UNROLL
     acc, _ = jax.lax.scan(dbl_body, window_sums,
                           jnp.arange(n_steps) * DBL_UNROLL)
-    m = w
+    m = n_win
     pts = acc
     while m > 1:
         half = m // 2

@@ -61,6 +61,10 @@ LANE_BLK = int(_os.environ.get("ACCUM_TPU_PALLAS_LANE_BLK", "128"))
 CHUNK = int(_os.environ.get("ACCUM_TPU_PALLAS_CHUNK", "16"))
 # interpreter mode: lets the CPU test suite validate the kernel body
 _INTERPRET = _os.environ.get("ACCUM_TPU_PALLAS_INTERPRET", "0") == "1"
+# field-mul body: "mxu" = conv-as-bf16-matmul (78x work amplification,
+# measured 2.11 s at its best tuning), "vpu" = skew-reshape f32 FMAs (only
+# the useful 1521 products per limb conv)
+_MUL_BODY = _os.environ.get("ACCUM_TPU_PALLAS_MUL", "mxu")
 
 
 @functools.lru_cache(maxsize=None)
@@ -76,11 +80,13 @@ def _sweep_call(curve: CurveSpec, nl8: int, lanes: int, chunk: int):
     n_blk = lanes // LANE_BLK
 
     def kernel(consts, sel, tq, tp, bx, by, bz, qx, qy, qinf, ox, oy, oz):
-        with fp8.override_consts({
+        ov = {
             "p8": consts[0], "pp8": consts[1], "sub_pad": consts[2],
             "b3": consts[3],
-            "mxu_mats": (sel[:], tq[:], tp[:]),
-        }):
+        }
+        if _MUL_BODY == "mxu":
+            ov["mxu_mats"] = (sel[:], tq[:], tp[:])
+        with fp8.override_consts(ov):
             acc = msm8.P8(bx[:], by[:], bz[:])
 
             def body(t, a):

@@ -82,20 +82,29 @@ def _sample_points(curve: CurveSpec, n: int, seed: bytes) -> Affine:
     top_limb = (cand_bits - 1) // 16
     top_mask = (1 << (cand_bits - 16 * top_limb)) - 1
     while remaining > 0:
-        m = max(64, int(remaining * 1.3))
+        # cap the per-call candidate batch: the sqrt exponentiation chain at
+        # million-lane batches has crashed the remote TPU worker, and the
+        # ok-mask readback crawls through the relay at ~100 MB scale —
+        # 2^16-candidate chunks keep both bounded.  Power-of-two batch
+        # sizes so the whole loop reuses a handful of compiled shapes.
+        m = 1 << max(64, int(remaining * 1.3)).bit_length()
+        m = min(m, 1 << 16)
         raw = rng.integers(0, 1 << 16, size=(m, nl), dtype=np.uint32)
         raw[:, top_limb] &= top_mask
         raw[:, top_limb + 1:] = 0
         pts, ok = _solve_candidates(curve, fp.to_mont(curve.fq, jnp.asarray(raw)))
-        okh = np.asarray(ok)
-        xs = np.asarray(pts.x)[okh]
-        ys = np.asarray(pts.y)[okh]
-        take = min(remaining, xs.shape[0])
-        found_x.append(xs[:take])
-        found_y.append(ys[:take])
+        # device-side compaction: the only host sync per chunk is the
+        # success count (full-coordinate readbacks crawl through the relay)
+        kk = int(jnp.sum(ok))
+        if kk == 0:
+            continue
+        idx = jnp.nonzero(ok, size=kk)[0]
+        take = min(remaining, kk)
+        found_x.append(pts.x[idx[:take]])
+        found_y.append(pts.y[idx[:take]])
         remaining -= take
-    gx = jnp.asarray(np.concatenate(found_x, axis=0))
-    gy = jnp.asarray(np.concatenate(found_y, axis=0))
+    gx = jnp.concatenate(found_x, axis=0)
+    gy = jnp.concatenate(found_y, axis=0)
     pts = Affine(gx, gy, jnp.zeros((n,), bool))
     if curve.cofactor != 1:
         # Clear the cofactor so every sampled point lies in the prime-order

@@ -29,7 +29,15 @@ BENCH_SKIP_SCHEME=1, BENCH_SCHEME_LOG_DEGREE (default 20), BENCH_SKIP_2E16=1.
 
 import json
 import os
+import sys
 import time
+
+
+def _stage(msg):
+    # progress + partial results to stderr: a remote-worker crash late in
+    # the run must not lose earlier stages' numbers (the JSON contract line
+    # on stdout still prints once at the end)
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 os.environ.setdefault("ACCUM_TPU_UNROLL_CARRIES", "1")
 
@@ -139,13 +147,17 @@ def main():
 
     pps_16 = None
     if os.environ.get("BENCH_SKIP_2E16") != "1":
+        _stage("msm 2^16 ...")
         pps_16, dt16, s16 = bench_msm(curve, 1 << 16, c, reps)
         extra["msm_2e16_pps"] = round(pps_16, 1)
         extra["msm_2e16_slot_bound"] = s16
+        _stage(f"msm 2^16: {pps_16:,.0f} pts/s (dt {dt16*1e3:.0f} ms, s={s16})")
 
+    _stage(f"msm n={n} ...")
     pps_n, dt_n, s_n = bench_msm(curve, n, c, reps)
     extra["msm_2e20_pps" if n == 1 << 20 else f"msm_n{n}_pps"] = \
         round(pps_n, 1)
+    _stage(f"msm n={n}: {pps_n:,.0f} pts/s (dt {dt_n*1e3:.0f} ms, s={s_n})")
 
     # roofline accounting for the big MSM
     w = 256 // c
@@ -164,7 +176,10 @@ def main():
     if os.environ.get("BENCH_SKIP_SCHEME") != "1":
         logd = int(os.environ.get("BENCH_SCHEME_LOG_DEGREE", "20"))
         try:
+            _stage(f"ipa_pc_as at degree 2^{logd}-1 ...")
             ti, tp, tv, td = bench_scheme(curve, logd)
+            _stage(f"ipa_pc_as: index {ti:.1f}s prove {tp:.1f}s "
+                   f"verify {tv:.1f}s decide {td:.1f}s")
             extra["ipa_as_degree"] = (1 << logd) - 1
             extra["ipa_as_index_s"] = round(ti, 2)
             extra["ipa_as_prove_s"] = round(tp, 2)

@@ -71,18 +71,23 @@ def _msm_static(curve: CurveSpec, pts: Affine, scalars, c: int, s: int):
     L = pts.x.shape[0]
     if L <= msm_mod.SMALL_N_THRESHOLD:
         return wst.msm_bitserial(curve, pts, scalars), jnp.asarray(False)
-    mag, signs, ranks, overflow, max_count = \
+    mag, signs, ranks, overflow, wmaxes = \
         msm_mod._signed_digits_and_ranks(curve, scalars, c)
     perm = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape)
     if msm_mod._use_fp8_engine():
         from ..ops import msm8
         out = msm8.bucket_phase8(curve, pts, mag, (perm, ranks), c, s,
                                  signs=signs, signed=True, overflow=overflow)
+    elif msm_mod._use_lane_engine():
+        from ..ops import msm_lanes
+        out = msm_lanes.bucket_phase_lanes(
+            curve, pts, mag, (perm, ranks), c, s,
+            signs=signs, signed=True, overflow=overflow)
     else:
         out = msm_mod._bucket_phase(curve, pts, mag, (perm, ranks), c, s,
                                     signs=signs, signed=True,
                                     overflow=overflow)
-    return out, max_count > s
+    return out, jnp.max(wmaxes) > s
 
 
 def _inner_product(curve: CurveSpec, a, b):

@@ -20,6 +20,13 @@ the bucket accumulation is reformulated as a *dense slot matrix*:
 
 Total group-op work matches classic Pippenger (~W*N adds); every step is a
 wide vectorised op.  Scalars whose digit is 0 never enter a bucket.
+
+Slot-bound planning (_plan_split): the k+r signed recode makes bulk
+windows uniform but leaves the TOP window structurally hot (~2x max
+occupancy), so a shared slot bound pays ~2x sweep depth in every window.
+When profitable the top window is split into replica rows of bulk depth
+(virtual windows sharing the top weight via per-row dbl_counts) — sweep
+work W*s_top -> (W+reps-1)*s_bulk, ~1.9x less at 2^16/c=8.
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ from ..fields import fp
 from ..fields.fp import NLIMBS, DTYPE, LIMB_BITS, LIMB_MASK
 
 SMALL_N_THRESHOLD = 96
+SPLIT_MIN_N = 1024  # below this the sweep is not the bound; keep one layout
 
 # Fat scan steps amortise per-step launch latency on TPU; on the XLA:CPU
 # test backend the unrolled bodies inflate compile time (and very large
@@ -73,10 +81,17 @@ def _use_fp8_engine() -> bool:
 
 
 def _use_lane_engine() -> bool:
-    # "lanes" is opt-in until its cross-checks complete on this machine
-    # (the signed lane bucket phase is new this round; the CPU comparison
-    # runs were compile-starved at round end — see CLAUDE.md round notes)
-    return _MSM_ENGINE == "lanes"
+    # lane-major (limb-leading) is the default bucket phase ON TPU: 1.7x
+    # the point-major layout there (round-1 measurement), cross-checked
+    # against python-int ground truth on both backends
+    # (scripts/check_lanes.py).  "auto" resolves per-platform: the lane
+    # layout is a TPU-lane-width optimisation, and its XLA:CPU compiles
+    # are several-fold slower (measured ~20 min for one n=256 graph set on
+    # this box) — the CPU test backend stays on the point-major engine.
+    # Force with ACCUM_TPU_MSM_ENGINE=lanes / u32.
+    if _MSM_ENGINE == "lanes":
+        return True
+    return _MSM_ENGINE == "auto" and not _ON_CPU
 
 
 def _quantize_slots(s: int, n: int) -> int:
@@ -166,7 +181,7 @@ def _signed_digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
     """Signed-digit (window-NAF-style) recoding of k + r, + sort-free ranks.
 
     -> (mag (W,N) int32 in [0, 2^(c-1)], signs (W,N) bool, ranks (W,N),
-        overflow (N) bool, max_count ()).
+        overflow (N) bool, wmaxes (W,) per-window max bucket occupancy).
 
     Two balance problems with raw unsigned digits: (a) half the bucket
     array is cold once signs exist; (b) the TOP window is skewed by the
@@ -251,14 +266,46 @@ def _signed_digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
     _, (ranks, wmaxes) = jax.lax.scan(
         lambda _, dg: (None, jax.vmap(per_window)(dg)),
         None, mag.reshape(w // g, g, n))
+    # wmaxes is PER-WINDOW (W,) so callers can bound the bulk windows and
+    # the structurally-hot top window separately (split sweep, msm())
     return (mag, signs, ranks.reshape(w, n), overflow,
-            jnp.max(wmaxes))
+            wmaxes.reshape(w))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8))
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _split_hot_window(mag, signs, ranks, s_bulk: int, reps: int):
+    """Replicate the hot TOP window into `reps` virtual rows of depth s_bulk.
+
+    The k+r recode makes bulk windows uniform, but the top window's digits
+    are concentrated (k + r lies in [r, 2r), so the leading bits mirror r's
+    — measured max occupancy ~2x the bulk at 2^16/c=8).  A shared slot
+    bound would pay that depth in EVERY window's sweep.  Instead the top
+    window becomes `reps` rows: row j holds the entries with rank in
+    [j*s_bulk, (j+1)*s_bulk) (rank shifted into [0, s_bulk)); non-selected
+    entries get magnitude 0 and are dropped by the slot scatter.  All
+    replica rows carry the top window's weight in the window combine
+    (dbl_counts).  Sweep work: W*s_top -> (W+reps-1)*s_bulk (~1.9x less).
+
+    Works batched: the window axis is -2, points axis -1."""
+    rows_m = [mag[..., :-1, :]]
+    rows_s = [signs[..., :-1, :]]
+    rows_r = [ranks[..., :-1, :]]
+    top_m, top_s, top_r = mag[..., -1:, :], signs[..., -1:, :], ranks[..., -1:, :]
+    for j in range(reps):
+        sel = (top_r >= j * s_bulk) & (top_r < (j + 1) * s_bulk)
+        rows_m.append(jnp.where(sel, top_m, 0))
+        rows_s.append(top_s)
+        rows_r.append(jnp.where(sel, top_r - j * s_bulk, 0))
+    return (jnp.concatenate(rows_m, axis=-2),
+            jnp.concatenate(rows_s, axis=-2),
+            jnp.concatenate(rows_r, axis=-2))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8, 10))
 def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
                   c: int, s: int, unrolls=None, signs=None,
-                  signed: bool = False, overflow=None) -> Jacobian:
+                  signed: bool = False, overflow=None,
+                  dbl_counts=None) -> Jacobian:
     """Builds the slot matrix and returns the full MSM result.
 
     unrolls: optional (sweep_chunk, agg_unroll, dbl_unroll) static override
@@ -267,12 +314,15 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     (W, N); negative entries add the negated point (y -> -y).
     overflow: optional (N,) bool — points whose k+r recode carried past bit
     255; their sum enters the window combine as an extra 2^256-weighted
-    window (one masked log-depth tree-sum)."""
+    window (one masked log-depth tree-sum).
+    dbl_counts: optional static tuple of per-row doubling counts in the
+    window combine (for virtual-window rows from _split_hot_window); None
+    means row i doubles c*i times (the plain layout)."""
     sweep_chunk, agg_unroll_n, dbl_unroll_n = (
         unrolls if unrolls is not None
         else (SWEEP_CHUNK, AGG_UNROLL_N, DBL_UNROLL_N))
     perm, ranks = perm_ranks
-    w = 256 // c
+    w = sorted_digits.shape[0]  # window ROWS (= 256/c unless split)
     nb = ((1 << (c - 1)) + 1) if signed else (1 << c)
     n = perm.shape[-1]
 
@@ -380,14 +430,22 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     # windows at once with per-window masks (window w doubles c*w times),
     # then one tree reduction — O(c*W) doublings of W-wide lanes in
     # ceil(c*W / UNROLL) steps instead of per-window sequential Horner.
-    total_dbl = c * (n_win - 1)
+    if dbl_counts is None:
+        # plain layout: row i doubles c*i times; the overflow row at index
+        # w doubles c*w == 256 times (w == 256/c here)
+        dbl_per_row = tuple(c * i for i in range(n_win))
+    else:
+        dbl_per_row = tuple(dbl_counts) + ((256,) if overflow is not None
+                                           else ())
+        assert len(dbl_per_row) == n_win
+    total_dbl = max(dbl_per_row)
     DBL_UNROLL = dbl_unroll_n
-    win_idx = jnp.arange(n_win)
+    dbl_arr = jnp.asarray(dbl_per_row)
 
     def dbl_body(acc, i_base):
         for t in range(DBL_UNROLL):
             i = i_base + t
-            mask = i < (c * win_idx)
+            mask = i < dbl_arr
             doubled = wst.jac_double(curve, acc)
             acc = wst._where_pt(mask, doubled, acc)
         return acc, None
@@ -397,6 +455,30 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
         dbl_body, window_sums,
         jnp.arange(n_dbl_steps) * DBL_UNROLL)
     return wst._tree_reduce(curve, acc)
+
+
+def _plan_split(mag, signs, ranks, wm, c: int, n: int):
+    """Host-side slot-bound planning: shared bound vs top-window split.
+
+    wm: (W,) numpy per-window max occupancies.  Returns possibly-extended
+    (mag, signs, ranks) with the quantized static slot depth s and the
+    per-row dbl_counts (None when the plain shared-bound layout wins).
+    The decision compares total sweep work (rows * depth) host-side, so
+    the split only triggers when the top window is genuinely hot.  Small
+    MSMs are launch-latency-bound, not sweep-bound, so they keep the plain
+    layout (SPLIT_MIN_N) — this also bounds the number of distinct
+    (rows, s) compile variants in the CPU test suite."""
+    w = wm.shape[-1]
+    s_top = _quantize_slots(int(wm.max()), n)
+    if w < 2 or n < SPLIT_MIN_N:
+        return mag, signs, ranks, s_top, None
+    s_bulk = _quantize_slots(int(wm[..., :-1].max()), n)
+    reps = max(-(-int(wm[..., -1].max()) // s_bulk), 1)
+    if (w + reps - 1) * s_bulk >= w * s_top:
+        return mag, signs, ranks, s_top, None
+    mag, signs, ranks = _split_hot_window(mag, signs, ranks, s_bulk, reps)
+    dbl_counts = tuple(c * i for i in range(w - 1)) + (c * (w - 1),) * reps
+    return mag, signs, ranks, s_bulk, dbl_counts
 
 
 def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobian:
@@ -424,25 +506,31 @@ def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobi
     if 256 % c != 0:
         raise ValueError(f"window size c={c} must divide 256 "
                          "(a non-divisor would silently drop top scalar bits)")
-    mag, signs, ranks, overflow, max_count = _signed_digits_and_ranks(
+    mag, signs, ranks, overflow, wmaxes = _signed_digits_and_ranks(
         curve, scalars_mont, c
     )
-    s = int(max_count)  # host sync (one int)
-    if s == 0:
+    wm = np.asarray(wmaxes)  # host sync (W small ints, one readback)
+    if int(wm.max()) == 0:
         return wst.jacobian_zero(curve, ())
-    s = _quantize_slots(s, n)
-    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape)
     if _use_fp8_engine():
+        # the experimental f32 engine keeps the plain shared-bound layout
         from . import msm8
+        s = _quantize_slots(int(wm.max()), n)
+        perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape)
         return msm8.bucket_phase8(curve, points, mag, (perm, ranks), c, s,
                                   signs=signs, signed=True, overflow=overflow)
+    mag, signs, ranks, s, dbl_counts = _plan_split(
+        mag, signs, ranks, wm, c, n)
+    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape)
     if _use_lane_engine():
         from . import msm_lanes
         return msm_lanes.bucket_phase_lanes(
             curve, points, mag, (perm, ranks), c, s,
-            signs=signs, signed=True, overflow=overflow)
+            signs=signs, signed=True, overflow=overflow,
+            dbl_counts=dbl_counts)
     return _bucket_phase(curve, points, mag, (perm, ranks), c, s,
-                         signs=signs, signed=True, overflow=overflow)
+                         signs=signs, signed=True, overflow=overflow,
+                         dbl_counts=dbl_counts)
 
 
 def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
@@ -469,26 +557,32 @@ def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
             jnp.stack([o.y for o in outs]),
             jnp.stack([o.z for o in outs]))
     c = _pick_c(n)
-    mag, signs, ranks, overflow, max_count = jax.vmap(
+    mag, signs, ranks, overflow, wmaxes = jax.vmap(
         lambda s: _signed_digits_and_ranks(curve, s, c)
     )(scalars_mont)
-    s = int(jnp.max(max_count))
-    if s == 0:
+    wm = np.asarray(jnp.max(wmaxes, axis=0))  # (W,) shared over the batch
+    if int(wm.max()) == 0:
         return wst.jacobian_zero(curve, (b,))
-    s = _quantize_slots(s, n)
-    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape[1:])
     if _use_fp8_engine():
+        # the experimental f32 engine keeps the plain shared-bound layout
         from . import msm8
+        s = _quantize_slots(int(wm.max()), n)
+        perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                                mag.shape[1:])
         bucket = lambda mg, sg, ra, of: msm8.bucket_phase8(
             curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
             overflow=of)
-    elif _use_lane_engine():
+        return jax.vmap(bucket)(mag, signs, ranks, overflow)
+    mag, signs, ranks, s, dbl_counts = _plan_split(
+        mag, signs, ranks, wm, c, n)
+    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape[1:])
+    if _use_lane_engine():
         from . import msm_lanes
         bucket = lambda mg, sg, ra, of: msm_lanes.bucket_phase_lanes(
             curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
-            overflow=of)
+            overflow=of, dbl_counts=dbl_counts)
     else:
         bucket = lambda mg, sg, ra, of: _bucket_phase(
             curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
-            overflow=of)
+            overflow=of, dbl_counts=dbl_counts)
     return jax.vmap(bucket)(mag, signs, ranks, overflow)

@@ -461,10 +461,10 @@ def msm8(curve: CurveSpec, points: Affine, scalars_mont, c: int = 8,
     from ..curves import weierstrass as wst
     if 256 % c != 0:
         raise ValueError("window size c must divide 256")
-    mag, signs, ranks, overflow, max_count = msm_mod._signed_digits_and_ranks(
+    mag, signs, ranks, overflow, wmaxes = msm_mod._signed_digits_and_ranks(
         curve, scalars_mont, c)
     if s is None:
-        s = int(max_count)
+        s = int(jnp.max(wmaxes))
         if s == 0:
             return wst.jacobian_zero(curve, ())
         s = msm_mod._quantize_slots(s, points.x.shape[0])

@@ -136,10 +136,11 @@ def where_l(cond, a: PL, b: PL) -> PL:
               jnp.where(c, a.z, b.z))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 8, 10))
 def bucket_phase_lanes(curve: CurveSpec, points: Affine, sorted_digits,
                        perm_ranks, c: int, s: int, stage: str = "full",
-                       signs=None, signed: bool = False, overflow=None):
+                       signs=None, signed: bool = False, overflow=None,
+                       dbl_counts=None):
     """Lane-major bucket phase; returns a standard Projective (uint32).
 
     Mirrors ops/msm.py `_bucket_phase` (signed digits, overflow window,
@@ -148,10 +149,12 @@ def bucket_phase_lanes(curve: CurveSpec, points: Affine, sorted_digits,
     in round 1, now on the product path.
 
     stage: "sweep" returns after the slot sweep, "agg" after per-window
-    aggregation, "full" (default) the MSM result."""
+    aggregation, "full" (default) the MSM result.
+    dbl_counts: optional static per-row doubling counts for virtual-window
+    rows (msm._split_hot_window); None = row i doubles c*i times."""
     from ..curves.weierstrass import Projective
     perm, ranks = perm_ranks
-    w = 256 // c
+    w = sorted_digits.shape[0]  # window ROWS (= 256/c unless split)
     nb = ((1 << (c - 1)) + 1) if signed else (1 << c)
     n = perm.shape[-1]
 
@@ -255,13 +258,19 @@ def bucket_phase_lanes(curve: CurveSpec, points: Affine, sorted_digits,
                            for a, b in zip(window_sums, spts)))
         n_win = w + 1
 
-    total_dbl = c * (n_win - 1)
-    win_idx = jnp.arange(n_win)
+    if dbl_counts is None:
+        dbl_per_row = tuple(c * i for i in range(n_win))
+    else:
+        dbl_per_row = tuple(dbl_counts) + ((256,) if overflow is not None
+                                           else ())
+        assert len(dbl_per_row) == n_win
+    total_dbl = max(dbl_per_row)
+    dbl_arr = jnp.asarray(dbl_per_row)
 
     def dbl_body(acc, i_base):
         for t in range(DBL_UNROLL):
             i = i_base + t
-            mask = i < (c * win_idx)
+            mask = i < dbl_arr
             acc = where_l(mask, dbl_l(curve, acc), acc)
         return acc, None
 

@@ -93,20 +93,30 @@ def msm_sharded(curve: CurveSpec, mesh: Mesh, points: Affine, scalars_mont,
         in_specs=(P(AXIS, None),),
         out_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS), P(AXIS), P()),
     )
-    mag, signs, ranks, overflow, max_count = ranks_mapped(scalars_mont)
-    s = int(max_count)  # host sync (one int) — as the single-chip path does
-    if s == 0:
+    mag, signs, ranks, overflow, wmaxes = ranks_mapped(scalars_mont)
+    wm = np.asarray(wmaxes)  # host sync (W small ints, mesh-maxed)
+    if int(wm.max()) == 0:
         return wst.jacobian_zero(curve, ())
-    s = msm_mod._quantize_slots(s, n_loc)
+    # split planning uses the mesh-wide per-window maxes; each shard's
+    # local ranks are <= the mesh max, so the replica-row selection is
+    # valid shard-locally (the row axis stays replicated, P(None, AXIS))
+    mag, signs, ranks, s, dbl_counts = msm_mod._plan_split(
+        mag, signs, ranks, wm, c, n_loc)
 
     # phase 2: per-shard static bucket phase + ICI combine (each shard's
     # local result already includes its own overflow-window contribution)
     def bucket_fn(px, py, pinf, mg, sg, rk, of):
         perm = jnp.broadcast_to(
             jnp.arange(n_loc, dtype=jnp.int32), mg.shape)
-        local = msm_mod._bucket_phase(
-            curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
-            signs=sg, signed=True, overflow=of)
+        if msm_mod._use_lane_engine():
+            from ..ops import msm_lanes
+            local = msm_lanes.bucket_phase_lanes(
+                curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
+                signs=sg, signed=True, overflow=of, dbl_counts=dbl_counts)
+        else:
+            local = msm_mod._bucket_phase(
+                curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
+                signs=sg, signed=True, overflow=of, dbl_counts=dbl_counts)
         gx = jax.lax.all_gather(local.x, AXIS)
         gy = jax.lax.all_gather(local.y, AXIS)
         gz = jax.lax.all_gather(local.z, AXIS)

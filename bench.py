@@ -76,9 +76,10 @@ def bench_msm(curve, n, c, reps):
         _sync(out)
     dt = (time.time() - t0) / reps
     # recover the slot bound the product path used (cached host sync)
-    _, _, _, _, max_count = msm_mod._signed_digits_and_ranks(
+    mag, signs, ranks, _, wmaxes = msm_mod._signed_digits_and_ranks(
         curve, scalars, c)
-    s = msm_mod._quantize_slots(int(max_count), n)
+    _, _, _, s, _ = msm_mod._plan_split(
+        mag, signs, ranks, np.asarray(wmaxes), c, n)
     return n / dt, dt, s
 
 

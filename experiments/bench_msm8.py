@@ -67,7 +67,7 @@ def main():
                              curve, scalars, c))
             mag, signs, ranks, overflow, max_count = \
                 msm_mod._signed_digits_and_ranks(curve, scalars, c)
-            s = msm_mod._quantize_slots(int(max_count), n)
+            s = msm_mod._quantize_slots(int(jnp.max(max_count)), n)
             log(f"slot bound s={s}")
             perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                                     mag.shape)

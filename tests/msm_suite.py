@@ -54,6 +54,33 @@ def test_batched(points, rng):
             wst.Affine(got.x[i], got.y[i], got.inf[i]), want)))
 
 
+def test_split_sweep_matches_plain(rng):
+    """Top-window split layout (virtual replica rows, _split_hot_window)
+    must agree with the plain shared-bound layout at a size where the
+    split actually triggers (n >= SPLIT_MIN_N and the k+r top window is
+    structurally hot — see _plan_split)."""
+    n = 2048
+    from accumulation_tpu.pc.pedersen import _sample_points
+    pts = _sample_points(C, n, b"test-msm-split")
+    sc = fp.random_elements(C.fr, rng, (n,))
+    c = 8
+    mag, signs, ranks, overflow, wmaxes = msm_mod._signed_digits_and_ranks(
+        C, sc, c)
+    wm = np.asarray(wmaxes)
+    m2, s2, r2, s_split, dc = msm_mod._plan_split(mag, signs, ranks, wm, c, n)
+    assert dc is not None, "split did not trigger at n=2048/c=8"
+    perm_s = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), m2.shape)
+    got = wst.to_affine(C, msm_mod._bucket_phase(
+        C, pts, m2, (perm_s, r2), c, s_split,
+        signs=s2, signed=True, overflow=overflow, dbl_counts=dc))
+    s_plain = msm_mod._quantize_slots(int(wm.max()), n)
+    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape)
+    want = wst.to_affine(C, msm_mod._bucket_phase(
+        C, pts, mag, (perm, ranks), c, s_plain,
+        signs=signs, signed=True, overflow=overflow))
+    assert bool(np.asarray(wst.affine_eq(got, want)))
+
+
 def test_all_zero_scalars(points):
     sc = jnp.zeros((N, 16), jnp.uint32)
     got = msm_mod.msm(C, points, sc, c=4)

@@ -25,9 +25,9 @@ def fixture():
     rng = np.random.default_rng(7)
     pts = _sample_points(curve, N, b"pallas-sweep-test")
     scalars = fp.random_elements(curve.fr, rng, (N,))
-    mag, signs, ranks, overflow, max_count = msm_mod._signed_digits_and_ranks(
+    mag, signs, ranks, overflow, wmaxes = msm_mod._signed_digits_and_ranks(
         curve, scalars, C)
-    s = msm_mod._quantize_slots(int(max_count), N)
+    s = msm_mod._quantize_slots(int(jnp.max(wmaxes)), N)
     perm = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), mag.shape)
     return curve, pts, mag, signs, ranks, overflow, perm, s
 

@@ -499,6 +499,10 @@ def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobi
     mesh = par_context.get_mesh()
     if mesh is not None and n % mesh.devices.size == 0 \
             and n // mesh.devices.size > 0 and mesh.devices.size > 1:
+        if len(mesh.axis_names) == 2:  # ("dcn", "ici") hierarchical grid
+            from ..parallel import multihost
+            return multihost.msm_sharded_2d(curve, mesh, points,
+                                            scalars_mont, c)
         from ..parallel import sharded
         return sharded.msm_sharded(curve, mesh, points, scalars_mont, c)
     if c is None:
@@ -549,9 +553,15 @@ def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
     mesh = par_context.get_mesh()
     if mesh is not None and n % mesh.devices.size == 0 \
             and mesh.devices.size > 1:
-        from ..parallel import sharded
-        outs = [sharded.msm_sharded(curve, mesh, points, scalars_mont[i])
-                for i in range(b)]
+        if len(mesh.axis_names) == 2:
+            from ..parallel import multihost
+            msm_1 = lambda s: multihost.msm_sharded_2d(
+                curve, mesh, points, s)
+        else:
+            from ..parallel import sharded
+            msm_1 = lambda s: sharded.msm_sharded(
+                curve, mesh, points, s)
+        outs = [msm_1(scalars_mont[i]) for i in range(b)]
         return Jacobian(
             jnp.stack([o.x for o in outs]),
             jnp.stack([o.y for o in outs]),

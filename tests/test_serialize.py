@@ -108,3 +108,53 @@ def test_ipa_accumulator_roundtrip(rng):
     assert ipa_pc.check(curve, ck, back.instance.ipa_commitment,
                         back.instance.point, back.instance.evaluation,
                         back.instance.ipa_proof)
+
+
+def test_ark_wire_layout(rng):
+    """Pin the ark-serialize 0.4 structural invariants (docs/PARITY.md
+    deviation 5): 32-byte LE canonical field values; SWFlags in the top
+    two bits of a compressed point's final byte (bit 7 = y is the larger
+    root, bit 6 = infinity with zero x payload); u64 LE lengths."""
+    import io
+    p = PALLAS.fq.modulus
+    # field element: canonical LE integer bytes, exactly 32
+    x_int = int.from_bytes(rng.bytes(40), "little") % p
+    buf = io.BytesIO()
+    serialize.write_scalars(
+        buf, PALLAS.fr,
+        fp.array_from_ints(PALLAS.fr, [x_int % PALLAS.fr.modulus]))
+    raw = buf.getvalue()
+    assert len(raw) == 32
+    assert int.from_bytes(raw, "little") == x_int % PALLAS.fr.modulus
+
+    # compressed point: x LE bytes + flag bits; exercise BOTH y roots
+    from accumulation_tpu.pc.pedersen import _sample_points
+    pt = _sample_points(PALLAS, 1, b"wire-layout")
+    pt2 = wst.Affine(pt.x, fp.neg(PALLAS.fq, pt.y), pt.inf)  # the other root
+    recs = []
+    for q in (pt, pt2):
+        b2 = io.BytesIO()
+        serialize.write_points(b2, PALLAS, q)
+        recs.append(bytearray(b2.getvalue()))
+    assert len(recs[0]) == 32
+    # exactly one of (y, -y) carries the larger-root flag; x payloads agree
+    f0, f1 = recs[0][31] & 0x80, recs[1][31] & 0x80
+    assert {f0, f1} == {0, 0x80}
+    recs[0][31] &= 0x3F
+    recs[1][31] &= 0x3F
+    assert recs[0] == recs[1]
+    x_val = int.from_bytes(bytes(recs[0]), "little")
+    assert x_val == fp.array_to_ints(PALLAS.fq, pt.x)[0]
+
+    # infinity: zero payload + bit 6
+    import jax.numpy as jnp
+    inf_pt = wst.affine_zero(PALLAS, (1,))
+    b3 = io.BytesIO()
+    serialize.write_points(b3, PALLAS, inf_pt)
+    r3 = b3.getvalue()
+    assert r3[31] & 0x40 and not any(r3[:31]) and (r3[31] & 0x3F) == 0
+
+    # u64 LE length prefix
+    b4 = io.BytesIO()
+    serialize.write_usize(b4, 0x0102030405)
+    assert b4.getvalue() == bytes.fromhex("0504030201000000")

@@ -68,9 +68,10 @@ def _pick_c(n: int) -> int:
 # HBM-materialization-bound (58 s vs 3 s for u32 at 2^16 — profile_out.txt),
 # so "auto" stays on u32 until the Pallas sweep kernel (VMEM-resident
 # convolutions) carries it.
-# engine selection: "auto" = lane-major u32 (limb-leading layout, full VPU
-# lane width — measured 1.7x the point-major layout on TPU), "u32" = the
-# point-major engine, "fp8" = the experimental f32 engine (+ opt-in Pallas)
+# engine selection: "auto"/"u32" = the point-major u32 engine (default —
+# compiles in minutes everywhere), "lanes" = lane-major limb-leading
+# layout (faster once compiled, compile-hostile cold — see
+# _use_lane_engine), "fp8" = the experimental f32 engine (+ opt-in Pallas)
 _MSM_ENGINE = _os.environ.get("ACCUM_TPU_MSM_ENGINE", "auto")
 
 
@@ -81,17 +82,15 @@ def _use_fp8_engine() -> bool:
 
 
 def _use_lane_engine() -> bool:
-    # lane-major (limb-leading) is the default bucket phase ON TPU: 1.7x
-    # the point-major layout there (round-1 measurement), cross-checked
-    # against python-int ground truth on both backends
-    # (scripts/check_lanes.py).  "auto" resolves per-platform: the lane
-    # layout is a TPU-lane-width optimisation, and its XLA:CPU compiles
-    # are several-fold slower (measured ~20 min for one n=256 graph set on
-    # this box) — the CPU test backend stays on the point-major engine.
-    # Force with ACCUM_TPU_MSM_ENGINE=lanes / u32.
-    if _MSM_ENGINE == "lanes":
-        return True
-    return _MSM_ENGINE == "auto" and not _ON_CPU
+    # lane-major (limb-leading) measured 1.7x the point-major layout on
+    # TPU in round 1 (pre-split bench variant), cross-checked against
+    # python-int ground truth on both backends (scripts/check_lanes.py).
+    # It is NOT the default anywhere: its big unrolled graphs are
+    # compile-hostile on a cold cache (XLA:CPU ~25 min for one n=256
+    # graph set; a cold remote TPU compile of the 2^16 split-sweep graph
+    # ran >40 min without completing).  Opt in per-process with
+    # ACCUM_TPU_MSM_ENGINE=lanes once a warm compilation cache exists.
+    return _MSM_ENGINE == "lanes"
 
 
 def _quantize_slots(s: int, n: int) -> int:

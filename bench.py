@@ -40,15 +40,17 @@ def _stage(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 os.environ.setdefault("ACCUM_TPU_UNROLL_CARRIES", "1")
+# Pin the point-major u32 engine for recorded numbers: the lane-major
+# engine's unrolled graphs are compile-hostile on a COLD cache (>40 min
+# remote compile observed at 2^16 — never completed), while u32 graphs
+# compile in minutes.  Same product path (signed k+r digits, host-synced
+# split slot bound); override with ACCUM_TPU_MSM_ENGINE=lanes once a warm
+# cache exists.
+os.environ.setdefault("ACCUM_TPU_MSM_ENGINE", "u32")
 
 import numpy as np
 
 R01_MSM_2E16_PPS = 38590.0  # BENCH_r01.json, same machine
-
-# roofline model constants (documented estimates, not measurements)
-FMA_PER_FIELD_MUL = 15000.0   # redundant fp8 mul: 3 skew convs + passes
-MULS_PER_MIXED_ADD = 11.5
-VPU_F32_FMA_PER_S = 2.5e12    # assumed v5e VPU f32 ceiling
 
 
 def _sync(x):
@@ -75,12 +77,13 @@ def bench_msm(curve, n, c, reps):
         out = msm_mod.msm(curve, pts, scalars, c=c)
         _sync(out)
     dt = (time.time() - t0) / reps
-    # recover the slot bound the product path used (cached host sync)
+    # recover the slot layout the product path used (cached host sync)
     mag, signs, ranks, _, wmaxes = msm_mod._signed_digits_and_ranks(
         curve, scalars, c)
-    _, _, _, s, _ = msm_mod._plan_split(
+    _, _, _, s, dbl_counts = msm_mod._plan_split(
         mag, signs, ranks, np.asarray(wmaxes), c, n)
-    return n / dt, dt, s
+    rows = len(dbl_counts) if dbl_counts is not None else 256 // c
+    return n / dt, dt, s, rows
 
 
 def bench_scheme(curve, log_degree):
@@ -131,11 +134,14 @@ def bench_scheme(curve, log_degree):
 
 
 def main():
+    import signal
+
     import jax
-    try:
-        jax.config.update("jax_platforms", "axon,cpu")
-    except Exception:
-        pass
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        try:
+            jax.config.update("jax_platforms", "axon,cpu")
+        except Exception:
+            pass
 
     import accumulation_tpu  # noqa: F401
     from accumulation_tpu.curves import PALLAS
@@ -146,33 +152,66 @@ def main():
     c = int(os.environ.get("BENCH_WINDOW_C", 8))
     extra = {}
 
+    # A kill or stall mid-compile (driver timeout, remote-worker wedge)
+    # must not lose the stages that DID complete: emit the contract line
+    # with whatever is accumulated so far, then exit.  Two mechanisms:
+    # a SIGTERM/SIGINT handler (runs when the interpreter regains control)
+    # and a deadline WATCHDOG THREAD — signal handlers cannot run while
+    # the main thread is blocked inside a multi-minute XLA compile (C
+    # call), a thread can (the compile releases the GIL).
+    def _emit_partial(*_a):
+        out = {
+            "metric": "msm_points_per_sec_partial",
+            "value": extra.get("msm_2e20_pps", extra.get("msm_2e16_pps", 0.0)),
+            "unit": "points/s",
+            "vs_baseline": round(
+                extra.get("msm_2e16_pps", 0.0) / R01_MSM_2E16_PPS, 3),
+            "partial": True,
+        }
+        out.update(extra)
+        print(json.dumps(out), flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _emit_partial)
+    signal.signal(signal.SIGINT, _emit_partial)
+
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+    if deadline_s > 0:
+        import threading
+        t_start = time.time()
+
+        def _watchdog():
+            import sys as _sys
+            while True:
+                time.sleep(15)
+                if time.time() - t_start > deadline_s:
+                    print(f"[bench] deadline {deadline_s:.0f}s hit — "
+                          "emitting partial results", file=_sys.stderr,
+                          flush=True)
+                    _emit_partial()
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+
     pps_16 = None
     if os.environ.get("BENCH_SKIP_2E16") != "1":
         _stage("msm 2^16 ...")
-        pps_16, dt16, s16 = bench_msm(curve, 1 << 16, c, reps)
+        pps_16, dt16, s16, _ = bench_msm(curve, 1 << 16, c, reps)
         extra["msm_2e16_pps"] = round(pps_16, 1)
         extra["msm_2e16_slot_bound"] = s16
         _stage(f"msm 2^16: {pps_16:,.0f} pts/s (dt {dt16*1e3:.0f} ms, s={s16})")
 
     _stage(f"msm n={n} ...")
-    pps_n, dt_n, s_n = bench_msm(curve, n, c, reps)
+    pps_n, dt_n, s_n, rows_n = bench_msm(curve, n, c, reps)
     extra["msm_2e20_pps" if n == 1 << 20 else f"msm_n{n}_pps"] = \
         round(pps_n, 1)
     _stage(f"msm n={n}: {pps_n:,.0f} pts/s (dt {dt_n*1e3:.0f} ms, s={s_n})")
 
-    # roofline accounting for the big MSM
-    w = 256 // c
-    nb = (1 << (c - 1)) + 1
-    sweep_adds = s_n * w * nb
-    agg_adds = w * nb * (max(1, (nb - 1).bit_length()))  # suffix scan + tree
-    dbl_adds = c * (w - 1) * w
-    adds = sweep_adds + agg_adds + dbl_adds
-    adds_per_s = adds / dt_n
-    fmuls_per_s = adds_per_s * MULS_PER_MIXED_ADD
-    sol = fmuls_per_s * FMA_PER_FIELD_MUL / VPU_F32_FMA_PER_S
-    extra["msm_adds_per_s"] = round(adds_per_s, 0)
-    extra["field_muls_per_s"] = round(fmuls_per_s, 0)
-    extra["sol_fraction"] = round(sol, 4)
+    # roofline accounting for the big MSM (model: utils/profiling.py)
+    from accumulation_tpu.utils import profiling
+    rl = profiling.msm_roofline(n, c, s_n, rows_n, dt_n)
+    extra["msm_adds_per_s"] = round(rl.adds_per_s, 0)
+    extra["field_muls_per_s"] = round(rl.field_muls_per_s, 0)
+    extra["sol_fraction"] = round(rl.sol_fraction, 4)
 
     if os.environ.get("BENCH_SKIP_SCHEME") != "1":
         logd = int(os.environ.get("BENCH_SCHEME_LOG_DEGREE", "20"))

@@ -72,26 +72,6 @@ def test_context_dispatch_2d(mesh2d, rng):
     assert bool(np.asarray(wst.affine_eq(got, want)))
 
 
-def test_ipa_open_check_under_mesh(mesh2d, rng):
-    """End-to-end IPA commit/open/check with every fold-round MSM routed
-    through the hierarchical grid (rounds whose size stops dividing the
-    grid fall back to single-device — the dispatch guard in msm())."""
-    from accumulation_tpu.ops import poly as poly_ops
-    from accumulation_tpu.pc import ipa_pc
-
-    deg = 63
-    pp = ipa_pc.setup(C, deg)
-    ck = ipa_pc.trim(pp, deg)
-    coeffs = fp.random_elements(C.fr, rng, (deg + 1,))
-    point = fp.random_elements(C.fr, rng, ())
-    with context.use_mesh(mesh2d):
-        comm = ipa_pc.commit(C, ck, coeffs)
-        value = poly_ops.evaluate(C.fr, coeffs, point)
-        proof = ipa_pc.open(C, ck, coeffs, comm, point)
-        assert ipa_pc.check(C, ck, comm, point, value, proof)
-    # the mesh path must produce a proof the single-device path accepts
-    assert ipa_pc.check(C, ck, comm, point, value, proof)
-
 
 def test_batched_dispatch_2d(mesh2d, rng):
     n = 256

@@ -1,0 +1,45 @@
+"""IPA open/check under the hierarchical mesh — isolated in its own file.
+
+The fold loop compiles one sharded bit-serial MSM graph per round size;
+that late-compile volume segfaults a loaded XLA:CPU worker (the known
+crash — CLAUDE.md), so this lives in a separate xdist worker via
+--dist loadfile.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from accumulation_tpu.curves import PALLAS
+from accumulation_tpu.fields import fp
+from accumulation_tpu.parallel import context, multihost
+
+C = PALLAS
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return multihost.make_mesh_2d(2, 4)
+
+
+def test_ipa_open_check_under_mesh(mesh2d, rng):
+    """End-to-end IPA commit/open/check with every fold-round MSM routed
+    through the hierarchical grid (rounds whose size stops dividing the
+    grid fall back to single-device — the dispatch guard in msm())."""
+    from accumulation_tpu.ops import poly as poly_ops
+    from accumulation_tpu.pc import ipa_pc
+
+    deg = 31
+    pp = ipa_pc.setup(C, deg)
+    ck = ipa_pc.trim(pp, deg)
+    coeffs = fp.random_elements(C.fr, rng, (deg + 1,))
+    point = fp.random_elements(C.fr, rng, ())
+    with context.use_mesh(mesh2d):
+        comm = ipa_pc.commit(C, ck, coeffs)
+        value = poly_ops.evaluate(C.fr, coeffs, point)
+        proof = ipa_pc.open(C, ck, coeffs, comm, point)
+        assert ipa_pc.check(C, ck, comm, point, value, proof)
+    # the mesh path must produce a proof the single-device path accepts
+    assert ipa_pc.check(C, ck, comm, point, value, proof)

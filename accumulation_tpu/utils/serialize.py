@@ -123,8 +123,19 @@ def _rows_gt(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return gt
 
 
+def point_record_size(f: FieldSpec) -> int:
+    """ark-serialize 0.4 compressed SW record size:
+    buffer_byte_size(MODULUS_BITS + SWFlags::BIT_SIZE=2).  Pallas (255-bit
+    modulus): 255+2 = 257 bits -> 33 bytes (x fills all 255 payload bits,
+    flags overflow into a dedicated final byte); BLS12-381 Fq (381-bit):
+    383 bits -> 48 bytes (flags share x's final byte)."""
+    return (f.modulus.bit_length() + 2 + 7) // 8
+
+
 def write_points(buf: io.BytesIO, curve: CurveSpec, pts: Affine):
-    """pts: batched (n,) affine -> n compressed 32-byte records."""
+    """pts: batched (n,) affine -> n ark-compressed records (x LE bytes,
+    SWFlags in the top two bits of the record's final byte: bit 7 = y is
+    the lexicographically larger root, bit 6 = infinity, zero payload)."""
     f = curve.fq
     if pts.x.ndim == 1:
         pts = Affine(pts.x[None], pts.y[None], pts.inf[None])
@@ -133,7 +144,11 @@ def write_points(buf: io.BytesIO, curve: CurveSpec, pts: Affine):
     yneg = np.asarray(fp.from_mont(f, fp.neg(f, pts.y)))
     inf = np.asarray(pts.inf)
     data = limbs_to_bytes(xc).copy()
-    top = data.shape[1] - 1  # flags live in the record's top byte
+    nb = point_record_size(f)
+    if nb > data.shape[1]:  # flags need extra byte(s) past the x payload
+        pad = np.zeros((data.shape[0], nb - data.shape[1]), dtype=np.uint8)
+        data = np.concatenate([data, pad], axis=1)
+    top = nb - 1  # flags live in the record's final byte
     # y larger <=> y > p - y as integers (batched limb comparison)
     larger = _rows_gt(yc, yneg)
     data[:, top] |= np.where(larger, FLAG_Y_LARGER, 0).astype(np.uint8)
@@ -145,10 +160,12 @@ def write_points(buf: io.BytesIO, curve: CurveSpec, pts: Affine):
 def read_points(buf: io.BytesIO, curve: CurveSpec, n: int) -> Affine:
     """Reads n compressed points; recovers y via batched device sqrt."""
     f = curve.fq
-    nb = 2 * f.nlimbs
+    nb = point_record_size(f)
     raw = np.frombuffer(buf.read(nb * n), dtype=np.uint8).reshape(n, nb).copy()
     flags = raw[:, nb - 1] & 0xC0
     raw[:, nb - 1] &= 0x3F
+    if nb > 2 * f.nlimbs:
+        raw = raw[:, :2 * f.nlimbs]
     inf = (flags & FLAG_INFINITY) != 0
     larger = (flags & FLAG_Y_LARGER) != 0
     x = fp.to_mont(f, jnp.asarray(bytes_to_limbs(raw)))
@@ -184,16 +201,47 @@ def read_point(buf, curve) -> Affine:
 # ---------------------------------------------------------------------------
 
 
+def write_scalar_vec(buf, spec: FieldSpec, arr):
+    """ark `Vec<F>`: u64 LE length prefix + elements (derive layout)."""
+    write_usize(buf, int(arr.shape[0]))
+    if arr.shape[0]:
+        write_scalars(buf, spec, arr)
+
+
+def read_scalar_vec(buf, spec: FieldSpec):
+    n = read_usize(buf)
+    return read_scalars(buf, spec, (n,))
+
+
+def write_point_vec(buf, curve: CurveSpec, pts: Affine):
+    """ark `Vec<G>`: u64 LE length prefix + compressed points."""
+    n = int(pts.x.shape[0])
+    write_usize(buf, n)
+    if n:
+        write_points(buf, curve, pts)
+
+
+def read_point_vec(buf, curve: CurveSpec) -> Affine:
+    n = read_usize(buf)
+    if n == 0:
+        return wst.affine_zero(curve, (0,))
+    return read_points(buf, curve, n)
+
+
 def serialize_hp_accumulator(curve: CurveSpec, acc) -> bytes:
-    """hp_as accumulator (instance + witness) -> bytes."""
-    from ..schemes import hp_as
+    """hp_as accumulator (instance + witness) -> bytes.
+
+    Field order follows the reference's derive order exactly
+    (/root/reference/src/hp_as/data_structures.rs:13-88): InputInstance
+    {comm_1, comm_2, comm_3} then InputWitness{a_vec, b_vec, randomness}
+    with each Vec carrying its own u64 LE length prefix (ark-serialize 0.4
+    derive layout; see docs/PARITY.md field-order table)."""
     buf = io.BytesIO()
     inst, wit = acc.instance, acc.witness
     for c in (inst.comm_1, inst.comm_2, inst.comm_3):
         write_point(buf, curve, c)
-    write_usize(buf, wit.a_vec.shape[0])
-    write_scalars(buf, curve.fr, wit.a_vec)
-    write_scalars(buf, curve.fr, wit.b_vec)
+    write_scalar_vec(buf, curve.fr, wit.a_vec)
+    write_scalar_vec(buf, curve.fr, wit.b_vec)
     write_opt_tag(buf, wit.randomness is not None)
     if wit.randomness is not None:
         for r in (wit.randomness.rand_1, wit.randomness.rand_2,
@@ -207,9 +255,8 @@ def deserialize_hp_accumulator(curve: CurveSpec, data: bytes):
     from ..schemes import hp_as
     buf = io.BytesIO(data)
     comms = [read_point(buf, curve) for _ in range(3)]
-    n = read_usize(buf)
-    a_vec = read_scalars(buf, curve.fr, (n,))
-    b_vec = read_scalars(buf, curve.fr, (n,))
+    a_vec = read_scalar_vec(buf, curve.fr)
+    b_vec = read_scalar_vec(buf, curve.fr)
     randomness = None
     if read_opt_tag(buf):
         r1 = read_scalars(buf, curve.fr, ())
@@ -221,13 +268,12 @@ def deserialize_hp_accumulator(curve: CurveSpec, data: bytes):
     return InstanceWitnessPair(inst, wit)
 
 
-def serialize_ipa_proof(curve: CurveSpec, proof) -> bytes:
-    buf = io.BytesIO()
-    k = proof.l_vec.x.shape[0]
-    write_usize(buf, k)
-    if k:
-        write_points(buf, curve, proof.l_vec)
-        write_points(buf, curve, proof.r_vec)
+def write_ipa_proof(buf, curve: CurveSpec, proof):
+    """ark-poly-commit `ipa_pc::Proof` derive order: l_vec, r_vec,
+    final_comm_key, c, hiding_comm, rand — each Vec with its own u64
+    length prefix, Options as 1-byte tags (no outer framing)."""
+    write_point_vec(buf, curve, proof.l_vec)
+    write_point_vec(buf, curve, proof.r_vec)
     write_point(buf, curve, proof.final_comm_key)
     write_scalars(buf, curve.fr, proof.c)
     write_opt_tag(buf, proof.hiding_comm is not None)
@@ -236,19 +282,12 @@ def serialize_ipa_proof(curve: CurveSpec, proof) -> bytes:
     write_opt_tag(buf, proof.rand is not None)
     if proof.rand is not None:
         write_scalars(buf, curve.fr, proof.rand)
-    return buf.getvalue()
 
 
-def deserialize_ipa_proof(curve: CurveSpec, data: bytes):
+def read_ipa_proof(buf, curve: CurveSpec):
     from ..pc import ipa_pc
-    buf = io.BytesIO(data)
-    k = read_usize(buf)
-    if k:
-        l_vec = read_points(buf, curve, k)
-        r_vec = read_points(buf, curve, k)
-    else:
-        l_vec = wst.affine_zero(curve, (0,))
-        r_vec = wst.affine_zero(curve, (0,))
+    l_vec = read_point_vec(buf, curve)
+    r_vec = read_point_vec(buf, curve)
     final_key = read_point(buf, curve)
     c = read_scalars(buf, curve.fr, ())
     hiding_comm = read_point(buf, curve) if read_opt_tag(buf) else None
@@ -256,16 +295,31 @@ def deserialize_ipa_proof(curve: CurveSpec, data: bytes):
     return ipa_pc.Proof(l_vec, r_vec, final_key, c, hiding_comm, rand)
 
 
+def serialize_ipa_proof(curve: CurveSpec, proof) -> bytes:
+    buf = io.BytesIO()
+    write_ipa_proof(buf, curve, proof)
+    return buf.getvalue()
+
+
+def deserialize_ipa_proof(curve: CurveSpec, data: bytes):
+    return read_ipa_proof(io.BytesIO(data), curve)
+
+
 def serialize_ipa_accumulator(curve: CurveSpec, acc) -> bytes:
-    """ipa_pc_as accumulator (atomic: instance only) -> bytes."""
+    """ipa_pc_as accumulator (atomic: instance only) -> bytes.
+
+    Derive order of the reference's InputInstance
+    (/root/reference/src/ipa_pc_as/data_structures.rs:55-68):
+    ipa_commitment, point, evaluation, ipa_proof — concatenated with no
+    framing, exactly like the CanonicalSerialize derive.  The commitment
+    is the bare group element (the reference's LabeledCommitment label /
+    degree_bound / shifted_comm are empty in AS usage; docs/PARITY.md)."""
     buf = io.BytesIO()
     inst = acc.instance
     write_point(buf, curve, inst.ipa_commitment)
     write_scalars(buf, curve.fr, inst.point)
     write_scalars(buf, curve.fr, inst.evaluation)
-    proof_bytes = serialize_ipa_proof(curve, inst.ipa_proof)
-    write_usize(buf, len(proof_bytes))
-    buf.write(proof_bytes)
+    write_ipa_proof(buf, curve, inst.ipa_proof)
     return buf.getvalue()
 
 
@@ -276,8 +330,7 @@ def deserialize_ipa_accumulator(curve: CurveSpec, data: bytes):
     comm = read_point(buf, curve)
     point = read_scalars(buf, curve.fr, ())
     evaluation = read_scalars(buf, curve.fr, ())
-    plen = read_usize(buf)
-    proof = deserialize_ipa_proof(curve, buf.read(plen))
+    proof = read_ipa_proof(buf, curve)
     inst = ipa_pc_as.InputInstance(comm, point, evaluation, proof)
     return InstanceWitnessPair(inst, None)
 

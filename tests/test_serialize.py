@@ -112,9 +112,10 @@ def test_ipa_accumulator_roundtrip(rng):
 
 def test_ark_wire_layout(rng):
     """Pin the ark-serialize 0.4 structural invariants (docs/PARITY.md
-    deviation 5): 32-byte LE canonical field values; SWFlags in the top
-    two bits of a compressed point's final byte (bit 7 = y is the larger
-    root, bit 6 = infinity with zero x payload); u64 LE lengths."""
+    deviation 5): 32-byte LE canonical field values; compressed Pallas
+    points are 33 bytes — buffer_byte_size(255 modulus bits + 2 SWFlags
+    bits) — with the flags alone in the final byte (bit 7 = y is the
+    larger root, bit 6 = infinity with zero x payload); u64 LE lengths."""
     import io
     p = PALLAS.fq.modulus
     # field element: canonical LE integer bytes, exactly 32
@@ -127,7 +128,8 @@ def test_ark_wire_layout(rng):
     assert len(raw) == 32
     assert int.from_bytes(raw, "little") == x_int % PALLAS.fr.modulus
 
-    # compressed point: x LE bytes + flag bits; exercise BOTH y roots
+    # compressed point: x LE bytes + flag byte; exercise BOTH y roots
+    assert serialize.point_record_size(PALLAS.fq) == 33
     from accumulation_tpu.pc.pedersen import _sample_points
     pt = _sample_points(PALLAS, 1, b"wire-layout")
     pt2 = wst.Affine(pt.x, fp.neg(PALLAS.fq, pt.y), pt.inf)  # the other root
@@ -136,23 +138,20 @@ def test_ark_wire_layout(rng):
         b2 = io.BytesIO()
         serialize.write_points(b2, PALLAS, q)
         recs.append(bytearray(b2.getvalue()))
-    assert len(recs[0]) == 32
+    assert len(recs[0]) == 33
     # exactly one of (y, -y) carries the larger-root flag; x payloads agree
-    f0, f1 = recs[0][31] & 0x80, recs[1][31] & 0x80
+    f0, f1 = recs[0][32] & 0x80, recs[1][32] & 0x80
     assert {f0, f1} == {0, 0x80}
-    recs[0][31] &= 0x3F
-    recs[1][31] &= 0x3F
-    assert recs[0] == recs[1]
-    x_val = int.from_bytes(bytes(recs[0]), "little")
+    assert recs[0][:32] == recs[1][:32]
+    x_val = int.from_bytes(bytes(recs[0][:32]), "little")
     assert x_val == fp.array_to_ints(PALLAS.fq, pt.x)[0]
 
     # infinity: zero payload + bit 6
-    import jax.numpy as jnp
     inf_pt = wst.affine_zero(PALLAS, (1,))
     b3 = io.BytesIO()
     serialize.write_points(b3, PALLAS, inf_pt)
     r3 = b3.getvalue()
-    assert r3[31] & 0x40 and not any(r3[:31]) and (r3[31] & 0x3F) == 0
+    assert r3[32] == 0x40 and not any(r3[:32])
 
     # u64 LE length prefix
     b4 = io.BytesIO()

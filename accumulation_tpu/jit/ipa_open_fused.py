@@ -49,6 +49,16 @@ from .sponge_device import DeviceSponge
 
 CHALLENGE_SIZE = 128
 
+# All folding rounds with L <= TAIL_MAX fuse into ONE jitted graph
+# (`_tail`): at degree 2^20 the open otherwise needs one remote compile per
+# round (k ~= 20 graphs, 40-400 s each cold — CLAUDE.md), and the small
+# rounds are all compile cost and no work.  Platform-aware default: the
+# XLA:CPU test backend keeps the tail tiny so the suite covers BOTH the
+# per-round and the fused-tail paths at the reference test degrees.
+_ON_CPU = "cpu" in os.environ.get("JAX_PLATFORMS", "")
+TAIL_MAX = int(os.environ.get("ACCUM_TPU_FUSED_TAIL_MAX",
+                              "8" if _ON_CPU else "2048"))
+
 
 def _pow2ceil(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
@@ -90,6 +100,46 @@ def _msm_static(curve: CurveSpec, pts: Affine, scalars, c: int, s: int):
     return out, jnp.max(wmaxes) > s
 
 
+# a folding round's MSM shards over an active mesh only when each shard
+# keeps at least this many points (below it the all-gather + replicated
+# epilogue costs more than the sharded sweep saves)
+MESH_MIN_LOCAL = 16
+
+
+def _mesh_shardable(mesh, L: int) -> bool:
+    return (mesh is not None and mesh.devices.size > 1
+            and L % mesh.devices.size == 0
+            and L // mesh.devices.size >= MESH_MIN_LOCAL)
+
+
+def _msm_static_sharded(curve: CurveSpec, mesh, pts: Affine, scalars,
+                        c: int, s: int):
+    """`_msm_static` with the point axis sharded over `mesh` (1-D or the
+    hierarchical ("dcn","ici") grid): per-shard static bucket phase / bit-
+    serial kernel, one all_gather of the partial sums + local tree add,
+    overflow flags OR-reduced over the mesh.  `s` must be the PER-SHARD
+    slot bound (round_plan sizes it for L/(2*n_dev) points)."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def fn(px, py, pinf, sc):
+        local, of = _msm_static(curve, Affine(px, py, pinf), sc, c, s)
+        gx = jax.lax.all_gather(local.x, axes)
+        gy = jax.lax.all_gather(local.y, axes)
+        gz = jax.lax.all_gather(local.z, axes)
+        total = wst._tree_reduce(curve, Projective(gx, gy, gz))
+        of_any = jax.lax.pmax(of.astype(jnp.int32), axes) > 0
+        return total.x, total.y, total.z, of_any
+
+    x, y, z, of = jax.shard_map(
+        fn, mesh=mesh, check_vma=False,
+        in_specs=(P(axes, None), P(axes, None), P(axes), P(axes, None)),
+        out_specs=(P(), P(), P(), P()),
+    )(pts.x, pts.y, pts.inf, scalars)
+    return Projective(x, y, z), of
+
+
 def _inner_product(curve: CurveSpec, a, b):
     fr = curve.fr
     prods = fp.mul(fr, a, b)
@@ -127,16 +177,33 @@ def _prologue(curve: CurveSpec, n: int, has_rand: bool, pm,
     return sp.state, b, value, xi0
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _round(curve: CurveSpec, cwin: int, s: int, pm,
-           state, a, b, g: Affine, u: Projective):
-    """One folding round, fully on device.  Returns
-    (state', l_aff, r_aff, a', b', g'_affine, overflow)."""
-    fr, fq = curve.fr, curve.fq
+def round_plan(n: int, mesh=None):
+    """Static per-round (L, cwin, slot_bound) schedule for an open at key
+    length n, split into (big_rounds, tail_rounds): big rounds compile one
+    graph each, tail rounds fuse into a single graph.  When a round's MSMs
+    shard over `mesh` (_mesh_shardable), the slot bound is sized for the
+    PER-SHARD point count."""
+    k = n.bit_length() - 1
+    n_dev = mesh.devices.size if mesh is not None else 1
+    big, tail = [], []
+    for i in range(k):
+        L = n >> i
+        half = L // 2
+        n_eff = half // n_dev if _mesh_shardable(mesh, half) else half
+        cwin = msm_mod._pick_c(n_eff)
+        s = _slot_bound(n_eff, cwin)
+        (tail if L <= TAIL_MAX else big).append((L, cwin, s))
+    return tuple(big), tuple(tail)
+
+
+def _round_body(curve: CurveSpec, cwin: int, s: int, sp: DeviceSponge,
+                a, b, g: Affine, u: Projective, mesh=None):
+    """One folding round's math, tracing into the caller's graph.  The
+    sponge `sp` is threaded through (absorb l/r, squeeze xi).  Returns
+    (l_aff, r_aff, a', b', g'_affine, overflow)."""
+    fr = curve.fr
     L = a.shape[0]
     half = L // 2
-    sp = DeviceSponge(fq)
-    sp.state, sp.mode, sp.pos = state, pm[0], pm[1]
 
     a_lo, a_hi = a[:half], a[half:]
     b_lo, b_hi = b[:half], b[half:]
@@ -145,8 +212,12 @@ def _round(curve: CurveSpec, cwin: int, s: int, pm,
 
     ip_l = _inner_product(curve, a_hi, b_lo)
     ip_r = _inner_product(curve, a_lo, b_hi)
-    ml, of_l = _msm_static(curve, g_lo, a_hi, cwin, s)
-    mr, of_r = _msm_static(curve, g_hi, a_lo, cwin, s)
+    if _mesh_shardable(mesh, half):
+        ml, of_l = _msm_static_sharded(curve, mesh, g_lo, a_hi, cwin, s)
+        mr, of_r = _msm_static_sharded(curve, mesh, g_hi, a_lo, cwin, s)
+    else:
+        ml, of_l = _msm_static(curve, g_lo, a_hi, cwin, s)
+        mr, of_r = _msm_static(curve, g_hi, a_lo, cwin, s)
     l_pt = wst.jac_add(curve, ml, wst.scalar_mul(curve, u, ip_l))
     r_pt = wst.jac_add(curve, mr, wst.scalar_mul(curve, u, ip_r))
     lr = wst.to_affine(curve, Projective(
@@ -164,8 +235,43 @@ def _round(curve: CurveSpec, cwin: int, s: int, pm,
     b2 = fp.add(fr, b_lo, fp.mul(fr, b_hi, xi_inv[None, :]))
     xi_inv_bits = fp.canonical_bits(fr, xi_inv, 256)
     g2 = _fold_g(curve, g_lo, g_hi, xi_inv_bits)
-    return (sp.state, l_aff, r_aff, a2, b2, g2,
-            of_l | of_r)
+    return l_aff, r_aff, a2, b2, g2, of_l | of_r
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _round(curve: CurveSpec, cwin: int, s: int, pm, mesh,
+           state, a, b, g: Affine, u: Projective):
+    """One folding round, fully on device.  Returns
+    (state', l_aff, r_aff, a', b', g'_affine, overflow)."""
+    sp = DeviceSponge(curve.fq)
+    sp.state, sp.mode, sp.pos = state, pm[0], pm[1]
+    l_aff, r_aff, a2, b2, g2, of = _round_body(
+        curve, cwin, s, sp, a, b, g, u, mesh=mesh)
+    return sp.state, l_aff, r_aff, a2, b2, g2, of
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _tail(curve: CurveSpec, plans, pm, mesh, state, a, b, g: Affine,
+          u: Projective):
+    """All remaining folding rounds (L <= TAIL_MAX) in ONE graph: the small
+    rounds are compile-latency-bound, not work-bound, so fusing them turns
+    ~log2(TAIL_MAX) remote compiles into one.  Returns
+    (l_stack, r_stack, c=a[0], final_g, overflow_any)."""
+    sp = DeviceSponge(curve.fq)
+    sp.state, sp.mode, sp.pos = state, pm[0], pm[1]
+    ls, rs, flags = [], [], []
+    for (_L, cwin, s) in plans:
+        l_aff, r_aff, a, b, g, of = _round_body(
+            curve, cwin, s, sp, a, b, g, u, mesh=mesh)
+        ls.append(l_aff)
+        rs.append(r_aff)
+        flags.append(of)
+    from ..schemes import common as scommon
+    overflow = jnp.any(jnp.stack(flags)) if flags else jnp.asarray(False)
+    l_stack = scommon.stack_affine(ls) if ls else wst.affine_zero(curve, (0,))
+    r_stack = scommon.stack_affine(rs) if rs else wst.affine_zero(curve, (0,))
+    final_g = Affine(g.x[0], g.y[0], g.inf[0])
+    return l_stack, r_stack, a[0], final_g, overflow
 
 
 def _fold_g(curve: CurveSpec, g_lo: Affine, g_hi: Affine, xi_inv_bits):
@@ -216,25 +322,48 @@ def open_fused(curve: CurveSpec, ck, coeffs, comm: Affine, point,
         curve, n, has_rand, pm, state, coeffs, comm, point, rand_in)
     u = wst.scalar_mul(curve, wst.from_affine(curve, ck.h), xi0)
 
+    # transparent multi-chip dispatch: big rounds' MSMs shard over an
+    # active context mesh (round-2 verdict weak #5); rounds too small to
+    # shard — including the whole fused tail by construction — stay
+    # single-device (the all-gather would cost more than the local sweep)
+    from ..parallel import context as par_context
+    mesh = par_context.get_mesh()
+
     a = coeffs
     g = ck.comm_key
+    big, tail = round_plan(n, mesh)
     ls, rs, flags = [], [], []
-    for i in range(k):
-        L = n >> i
-        cwin = msm_mod._pick_c(L // 2)
-        s = _slot_bound(L // 2, cwin)
+    for (_L, cwin, s) in big:
         state, l_aff, r_aff, a, b, g, of = _round(
-            curve, cwin, s, ("squeeze", 1), state, a, b, g, u)
+            curve, cwin, s, ("squeeze", 1), mesh, state, a, b, g, u)
         ls.append(l_aff)
         rs.append(r_aff)
         flags.append(of)
 
-    final_g = Affine(g.x[0], g.y[0], g.inf[0])
+    if tail:
+        l_stack, r_stack, c_final, final_g, of_tail = _tail(
+            curve, tail, ("squeeze", 1), mesh, state, a, b, g, u)
+        flags.append(of_tail)
+    else:
+        l_stack = r_stack = None
+        c_final = a[0]
+        final_g = Affine(g.x[0], g.y[0], g.inf[0])
+
+    if ls and l_stack is not None:
+        l_vec = scommon.cat_affine([scommon.stack_affine(ls), l_stack])
+        r_vec = scommon.cat_affine([scommon.stack_affine(rs), r_stack])
+    elif l_stack is not None:
+        l_vec, r_vec = l_stack, r_stack
+    elif ls:
+        l_vec = scommon.stack_affine(ls)
+        r_vec = scommon.stack_affine(rs)
+    else:
+        l_vec = r_vec = wst.affine_zero(curve, (0,))
     proof = ipa_pc.Proof(
-        l_vec=scommon.stack_affine(ls) if ls else wst.affine_zero(curve, (0,)),
-        r_vec=scommon.stack_affine(rs) if rs else wst.affine_zero(curve, (0,)),
+        l_vec=l_vec,
+        r_vec=r_vec,
         final_comm_key=final_g,
-        c=a[0],
+        c=c_final,
         hiding_comm=None,
         rand=rand,
     )

@@ -28,6 +28,15 @@ def stack_affine(pts: Sequence[Affine]) -> Affine:
     )
 
 
+def cat_affine(parts: Sequence[Affine]) -> Affine:
+    """Concatenate already-batched Affine arrays along the leading axis."""
+    return Affine(
+        jnp.concatenate([p.x for p in parts], axis=0),
+        jnp.concatenate([p.y for p in parts], axis=0),
+        jnp.concatenate([p.inf for p in parts], axis=0),
+    )
+
+
 def unstack_affine(pts: Affine) -> List[Affine]:
     n = pts.x.shape[0]
     return [Affine(pts.x[i], pts.y[i], pts.inf[i]) for i in range(n)]

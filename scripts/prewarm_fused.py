@@ -1,0 +1,139 @@
+"""Pre-warm the fused IPA open's compile cache for a given key length.
+
+The fused open (jit/ipa_open_fused.py) needs one remote compile per big
+folding round plus one for the fused tail and one for the prologue — at
+n = 2^20 that is ~10 graphs at 40-400 s each on a cold axon cache (the
+compiles are remote; CLAUDE.md).  The persistent XLA cache is shared across
+processes, so compiling the graphs from PARALLEL subprocesses overlaps the
+remote compile latency: wall-clock drops from sum(compiles) toward
+max(compiles) when the remote service admits concurrent requests.
+
+Usage:
+    python scripts/prewarm_fused.py [--log-n 20] [--jobs 6]
+    python scripts/prewarm_fused.py --one prologue:N
+    python scripts/prewarm_fused.py --one round:L,CWIN,S
+    python scripts/prewarm_fused.py --one tail:N
+
+Values are dummies (zero field elements / identity points): the XLA cache
+keys on the compiled graph, not the data, so a later real `open_fused` at
+the same n hits the warm cache.
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("ACCUM_TPU_UNROLL_CARRIES", "1")
+os.environ.setdefault("ACCUM_TPU_MSM_ENGINE", "u32")
+
+
+def _compile_one(spec: str):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from accumulation_tpu.curves import PALLAS, weierstrass as wst
+    from accumulation_tpu.fields.fp import DTYPE, NLIMBS
+    from accumulation_tpu.jit import ipa_open_fused as fo
+    from accumulation_tpu.ops import poseidon
+
+    curve = PALLAS
+    fq, fr = curve.fq, curve.fr
+    kind, _, arg = spec.partition(":")
+    state = jnp.zeros((poseidon.T, fq.nlimbs), DTYPE)
+
+    def dummy(L):
+        a = jnp.zeros((L, NLIMBS), DTYPE)
+        g = wst.affine_zero(curve, (L,))
+        return a, g
+
+    u = wst.jacobian_zero(curve, ())
+    t0 = time.time()
+    if kind == "prologue":
+        # pm is a STATIC arg of _prologue — it must match the (mode, pos)
+        # the real open_fused passes, i.e. the host sponge state right
+        # after the IPA_PC domain absorb
+        from accumulation_tpu.fields import fp as fp_mod
+        from accumulation_tpu.ops.sponge import IPA_PC_DOMAIN, domain_sponge
+        hsp = domain_sponge(fq, IPA_PC_DOMAIN)
+        state = fp_mod.array_from_ints(fq, hsp.state)
+        pm = (hsp.mode, hsp.pos)
+        n = int(arg)
+        a, _ = dummy(n)
+        comm = wst.affine_zero(curve, ())
+        point = jnp.zeros((NLIMBS,), DTYPE)
+        out = fo._prologue(curve, n, False, pm, state, a, comm,
+                           point, point)
+    elif kind == "round":
+        L, cwin, s = (int(x) for x in arg.split(","))
+        a, g = dummy(L)
+        b = a
+        out = fo._round(curve, cwin, s, ("squeeze", 1), None,
+                        state, a, b, g, u)
+    elif kind == "tail":
+        n = int(arg)
+        _, tail = fo.round_plan(n)
+        if not tail:
+            return
+        L0 = tail[0][0]
+        a, g = dummy(L0)
+        out = fo._tail(curve, tail, ("squeeze", 1), None, state, a, a, g, u)
+    else:
+        raise SystemExit(f"unknown graph spec {spec!r}")
+    # small readback = the only reliable completion barrier on axon
+    import jax
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    print(f"[prewarm] {spec}: compiled+ran in {time.time() - t0:.1f}s",
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-n", type=int, default=20)
+    ap.add_argument("--jobs", type=int, default=6)
+    ap.add_argument("--one", help="compile a single graph spec (child mode)")
+    args = ap.parse_args()
+
+    if args.one:
+        _compile_one(args.one)
+        return
+
+    from accumulation_tpu.jit import ipa_open_fused as fo
+
+    n = 1 << args.log_n
+    big, tail = fo.round_plan(n)
+    specs = [f"prologue:{n}"]
+    specs += [f"round:{L},{c},{s}" for (L, c, s) in big]
+    if tail:
+        specs.append(f"tail:{n}")
+    print(f"[prewarm] {len(specs)} graphs for n=2^{args.log_n}, "
+          f"{args.jobs} parallel jobs", flush=True)
+
+    t0 = time.time()
+    pending = list(specs)
+    running = {}
+    failed = []
+    while pending or running:
+        while pending and len(running) < args.jobs:
+            spec = pending.pop(0)
+            p = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--one", spec])
+            running[p.pid] = (p, spec)
+        done = [pid for pid, (p, _) in running.items() if p.poll() is not None]
+        for pid in done:
+            p, spec = running.pop(pid)
+            if p.returncode != 0:
+                failed.append(spec)
+                print(f"[prewarm] FAILED: {spec} (rc={p.returncode})",
+                      flush=True)
+        time.sleep(2)
+    print(f"[prewarm] done in {time.time() - t0:.0f}s; "
+          f"{len(failed)} failures: {failed}", flush=True)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,3 +43,35 @@ def test_ipa_open_check_under_mesh(mesh2d, rng):
         assert ipa_pc.check(C, ck, comm, point, value, proof)
     # the mesh path must produce a proof the single-device path accepts
     assert ipa_pc.check(C, ck, comm, point, value, proof)
+
+
+def test_fused_open_sharded_rounds(mesh2d, rng):
+    """The FUSED on-device open (the product prover) under the mesh: rounds
+    big enough to shard (half >= 8 * MESH_MIN_LOCAL here) run their two
+    cross-term MSMs through shard_map over the ("dcn","ici") grid; the
+    result must be byte-identical to the single-device fused proof (same
+    transcript, exact arithmetic — round-2 verdict weak #5)."""
+    from accumulation_tpu.jit import ipa_open_fused as fo
+    from accumulation_tpu.ops import poly as poly_ops
+    from accumulation_tpu.pc import ipa_pc
+
+    deg = 255  # n = 256: first round half=128 -> 16/shard (sharded),
+    # second half=64 -> 8/shard < MESH_MIN_LOCAL (single-device)
+    pp = ipa_pc.setup(C, deg)
+    ck = ipa_pc.trim(pp, deg)
+    coeffs = fp.random_elements(C.fr, rng, (deg + 1,))
+    point = fp.random_elements(C.fr, rng, ())
+    comm = ipa_pc.commit(C, ck, coeffs)
+    value = poly_ops.evaluate(C.fr, coeffs, point)
+
+    # the plan really does shard the first round under this mesh
+    big, _tail = fo.round_plan(256, mesh2d)
+    assert fo._mesh_shardable(mesh2d, big[0][0] // 2)
+
+    proof_single = fo.open_fused(C, ck, coeffs, comm, point)
+    with context.use_mesh(mesh2d):
+        proof_mesh = fo.open_fused(C, ck, coeffs, comm, point)
+    for a, b in zip(jax.tree_util.tree_leaves(proof_single),
+                    jax.tree_util.tree_leaves(proof_mesh)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    assert ipa_pc.check(C, ck, comm, point, value, proof_mesh)

@@ -134,48 +134,6 @@ def _digits_and_sort(curve: CurveSpec, scalars_mont, c: int):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
-def _digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
-    """Sort-free digit/rank extraction: -> (digits (W,N), ranks (W,N),
-    max_count ()).
-
-    rank[i] = #\\{j < i : digit_j == digit_i\\} per window, computed with a
-    blocked one-hot cumsum — replaces the argsort+searchsorted path, whose
-    XLA:TPU sort measured 620 ms at N=2^16 (experiments/profile_out.txt),
-    ~100x the arithmetic cost of this formulation."""
-    bits = fp.canonical_bits(curve.fr, scalars_mont)  # (N, 256)
-    n = bits.shape[0]
-    w = 256 // c
-    nb = 1 << c
-    weights = (jnp.uint32(1) << jnp.arange(c, dtype=jnp.uint32)).astype(jnp.int32)
-    digits = jnp.sum(
-        bits.reshape(n, w, c).astype(jnp.int32) * weights[None, None, :],
-        axis=-1).T  # (W, N)
-
-    ch = 1024
-    pad = (-n) % ch
-    nb_pad = n + pad
-
-    def per_window(_, dw):
-        dpad = jnp.concatenate([dw, jnp.full((pad,), -1, jnp.int32)]) \
-            if pad else dw
-        onehot = (dpad[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
-                  ).astype(jnp.int32)                      # (Np, NB)
-        blocks = onehot.reshape(nb_pad // ch, ch, nb)
-        within = jnp.cumsum(blocks, axis=1)                # inclusive
-        block_tot = within[:, -1, :]
-        offs = jnp.cumsum(block_tot, axis=0) - block_tot   # exclusive
-        incl = (within + offs[:, None, :]).reshape(nb_pad, nb)
-        rank = jnp.take_along_axis(
-            incl[:n], jnp.clip(dw[:, None], 0, nb - 1), axis=1)[:, 0] - 1
-        counts = incl[n - 1]
-        wmax = jnp.max(counts[1:]) if nb > 1 else jnp.int32(0)
-        return None, (rank, wmax)
-
-    _, (ranks, wmaxes) = jax.lax.scan(per_window, None, digits)
-    return digits, ranks, jnp.max(wmaxes)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 2))
 def _signed_digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
     """Signed-digit (window-NAF-style) recoding of k + r, + sort-free ranks.
 
@@ -238,28 +196,43 @@ def _signed_digits_and_ranks(curve: CurveSpec, scalars_mont, c: int):
     mag = jnp.abs(sdig)
     signs = sdig < 0
 
-    ch = 1024
+    # Rank extraction as MXU matmuls.  rank_i = #{j < i : d_j == d_i} per
+    # window.  The former blocked one-hot CUMSUM was log-depth HBM passes
+    # (~255 ms of the 2^16 MSM vs a ~33 ms relay floor); an inclusive
+    # prefix count is exactly a lower-triangular matmul — tril(1) @ onehot
+    # — which the MXU executes in one pass, EXACT in f32 for counts < 2^24
+    # (block size <= 512 here).  Digit 0 is excluded (never enters a
+    # bucket), so the one-hot spans columns 1..2^(c-1) — a lane-aligned
+    # 128-wide tile at c=8.
+    ch = 512
     pad = (-n) % ch
-    nb_pad = n + pad
+    n_pad = n + pad
+    nblk = n_pad // ch
+    nb1 = nb - 1  # columns for digits 1..half
+    tril = jnp.tril(jnp.ones((ch, ch), jnp.float32))
 
     def per_window(dw):
-        dpad = jnp.concatenate([dw, jnp.full((pad,), -1, jnp.int32)]) \
-            if pad else dw
-        onehot = (dpad[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
-                  ).astype(jnp.int32)
-        blocks = onehot.reshape(nb_pad // ch, ch, nb)
-        within = jnp.cumsum(blocks, axis=1)
-        block_tot = within[:, -1, :]
-        offs = jnp.cumsum(block_tot, axis=0) - block_tot
-        incl = (within + offs[:, None, :]).reshape(nb_pad, nb)
+        dm1 = dw - 1  # digit-minus-1; digit 0 -> -1 (no one-hot column)
+        if pad:
+            dm1 = jnp.concatenate([dm1, jnp.full((pad,), -1, jnp.int32)])
+        onehot = (dm1[:, None]
+                  == jnp.arange(nb1, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32).reshape(nblk, ch, nb1)
+        incl = jax.lax.dot_general(
+            tril, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (ch, nblk, nb1)
+        incl = jnp.transpose(incl, (1, 0, 2))         # (nblk, ch, nb1)
+        block_tot = incl[:, -1, :]
+        offs = jnp.cumsum(block_tot, axis=0) - block_tot  # (nblk, nb1)
+        incl = (incl + offs[:, None, :]).reshape(n_pad, nb1)
         rank = jnp.take_along_axis(
-            incl[:n], jnp.clip(dw[:, None], 0, nb - 1), axis=1)[:, 0] - 1
+            incl[:n], jnp.clip(dw[:, None] - 1, 0, nb1 - 1),
+            axis=1)[:, 0].astype(jnp.int32) - 1
         counts = incl[n - 1]
-        wmax = jnp.max(counts[1:]) if nb > 1 else jnp.int32(0)
+        wmax = jnp.max(counts).astype(jnp.int32)
         return rank, wmax
 
-    # windows in vmapped groups: W sequential HBM-heavy one-hot cumsums
-    # become W/G parallel batches (group size bounds the materialised
+    # windows in vmapped groups (group size bounds the materialised
     # one-hot at G * N * nb * 4 bytes — ~2 GB at 2^20/c=8)
     g = 4 if w % 4 == 0 else 1
     _, (ranks, wmaxes) = jax.lax.scan(

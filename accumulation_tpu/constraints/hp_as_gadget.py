@@ -123,6 +123,20 @@ class ASForHPVerifierGadget:
         (r1cs_nark_as), mirroring the native optional-sponge parameter."""
         b3 = self.b3
         make_zk = proof.hiding is not None
+        input_instances = list(input_instances)
+        num_all = len(input_instances) + len(old_accumulator_instances)
+        # default input when there are none, and the zk placeholder at
+        # m == 1 — mirrors both the native prover/verifier defaults
+        # (schemes/hp_as.py:384-387) and the reference gadget's constant
+        # injections (src/hp_as/constraints/mod.rs:303-325)
+        if num_all == 0:
+            input_instances.append(HpInstanceVar(
+                g, self.curve, hp_as.InputInstance.zero(self.curve)))
+            num_all += 1
+        if make_zk and num_all == 1:
+            input_instances.append(HpInstanceVar(
+                g, self.curve, hp_as.InputInstance.zero(self.curve)))
+            num_all += 1
         all_instances = input_instances + old_accumulator_instances
         m = len(all_instances)
         assert len(proof.low) == m - 1 and len(proof.high) == m - 1

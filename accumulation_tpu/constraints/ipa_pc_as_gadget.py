@@ -255,7 +255,6 @@ class ASForIpaPCVerifierGadget:
         _absorb_point(cp_sponge, g, combined)
         if rand_vars is not None:
             # native absorbs the 64-byte concatenation of both coefficients
-            both = lin_bits[0][:256] + [None] * (256 - len(lin_bits[0]))
             stream = []
             all_bits = (list(lin_bits[0]) + [None] * (256 - len(lin_bits[0]))
                         + list(lin_bits[1]) + [None] * (256 - len(lin_bits[1])))
@@ -318,6 +317,12 @@ def synthesize_and_check(curve: CurveSpec, vk: ipa_pc_as.VerifierKey,
     g = GadgetCS(curve.fq)
     r = curve.fr.modulus
     gadget = ASForIpaPCVerifierGadget(curve, vk.ipa_svk, vk.ipa_ck_linear)
+    # zero-input default (non-zk only), mirroring the native verify
+    # (schemes/ipa_pc_as.py:323-324): the zero-polynomial opening claim
+    # derived from the verifier key's default proof
+    if not input_instances and not old_accumulator_instances and proof is None:
+        input_instances = [
+            ipa_pc_as.AtomicASForInnerProductArgPC(curve)._default_input(vk)]
     try:
         inputs = [IpaInstanceVar(g, curve, i) for i in input_instances]
         olds = [IpaInstanceVar(g, curve, a)

@@ -181,6 +181,14 @@ class ASForR1CSNarkVerifierGadget:
         curve, r, b3 = self.curve, self.r, self.b3
         make_zk = proof.randomness is not None
 
+        # zero-input default, mirroring the native verify
+        # (schemes/r1cs_nark_as.py:485-486; ref src/r1cs_nark_as/constraints/
+        # mod.rs default-input injection)
+        if not input_instances and not old_accumulator_instances:
+            input_instances = [NarkInputInstanceVar(
+                g, curve, r1cs_nark_as.InputInstance.zero(
+                    curve, vk.num_instance_variables, False))]
+
         # Steps 1-2: gamma-blinded first-round commitments (mod.rs:174-233)
         blinded = []  # (comm_a, comm_b, comm_c, comm_prod) per input
         for inst in input_instances:

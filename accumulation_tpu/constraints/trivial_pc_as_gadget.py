@@ -109,6 +109,11 @@ class ASForTrivialPCVerifierGadget:
                proof: List[SingleProofVar]):
         curve, r, b3 = self.curve, self.r, self.b3
         all_instances = input_instances + old_accumulator_instances
+        # zero-input default, mirroring the native verify and the reference
+        # gadget (src/trivial_pc_as/constraints/mod.rs:137-142)
+        if not all_instances:
+            all_instances = [TrivialPCInstanceVar(
+                g, curve, trivial_pc_as.InputInstance.zero(curve))]
         n = len(all_instances)
         assert len(proof) == n
 

@@ -75,3 +75,69 @@ SIMPLE_ACCUMULATION = [1, 1]
 MULTIPLE_INPUTS_ACCUMULATION = [1, 1, 2, 3]
 ACCUMULATORS_ONLY = [1, 0, 0, 0]
 NO_INPUTS_INIT = [0]
+
+
+IPA_DEGREE = 11  # the reference's ipa test degree (src/ipa_pc_as/mod.rs:859)
+
+
+def make_ipa_input_gen(curve, pk, rng, make_zk, degree=IPA_DEGREE):
+    """Real IPA opening-claim generator (commit/evaluate/open), shared by the
+    scheme chain tests and the gadget tests (mirrors the reference's
+    ASTestInput for ipa_pc_as, src/ipa_pc_as/mod.rs:942-1004)."""
+    from accumulation_tpu.fields import fp
+    from accumulation_tpu.ops import poly as poly_ops
+    from accumulation_tpu.pc import ipa_pc
+    from accumulation_tpu.schemes.ipa_pc_as import InputInstance
+
+    ck = pk.ipa_ck
+
+    def generate(n):
+        out = []
+        for _ in range(n):
+            coeffs = fp.random_elements(curve.fr, rng, (degree + 1,))
+            point = fp.random_elements(curve.fr, rng, ())
+            value = poly_ops.evaluate(curve.fr, coeffs, point)
+            if make_zk:
+                omega = fp.random_elements(curve.fr, rng, ())
+                comm = ipa_pc.commit(curve, ck, coeffs, omega)
+                proof = ipa_pc.open(curve, ck, coeffs, comm, point,
+                                    rand=omega, hiding=True, rng=rng)
+            else:
+                comm = ipa_pc.commit(curve, ck, coeffs)
+                proof = ipa_pc.open(curve, ck, coeffs, comm, point)
+            inst = InputInstance(comm, point, value, proof)
+            out.append(InstanceWitnessPair(inst, None))
+        return out
+    return generate
+
+
+def gadget_chain_template(scheme_name, scheme, keys, generate_inputs,
+                          num_inputs_per_iteration, make_zk, rng):
+    """Gadget analog of `test_template` at the reference's gadget harness
+    shapes (/root/reference/src/constraints.rs:62-204, NUM_ITERATIONS=1):
+    run the native chain and re-verify EVERY accumulation step in-circuit.
+    Returns True iff every native verify and every gadget synthesis passed."""
+    from accumulation_tpu.constraints import verifier
+
+    pk, vk, dk = keys
+    inputs = generate_inputs(sum(num_inputs_per_iteration))
+    start = 0
+    old_accumulators = []
+    for num in num_inputs_per_iteration:
+        batch = inputs[start:start + num]
+        start += num
+        accumulator, proof = scheme.prove(
+            pk, batch, old_accumulators,
+            MakeZK.Enabled(rng) if make_zk else MakeZK.Disabled())
+        if not scheme.verify(vk, [b.instance for b in batch],
+                             [a.instance for a in old_accumulators],
+                             accumulator.instance, proof):
+            return False
+        if not verifier.synthesize_and_check(
+                scheme_name, scheme.curve, vk,
+                [b.instance for b in batch],
+                [a.instance for a in old_accumulators],
+                accumulator.instance, proof):
+            return False
+        old_accumulators.append(accumulator)
+    return scheme.decide(dk, old_accumulators[-1])

@@ -90,3 +90,20 @@ def test_generic_verifier_registry(setup, rng):
         "hp_as", curve, keys[1], [i.instance for i in inputs], [],
         acc.instance, proof)
     assert counts["total"] > 0
+
+
+# the reference gadget harness runs ALL six shapes (src/constraints.rs:62-374);
+# [1] and [1,1] are covered above — these close the multi-input, accumulators-
+# only, and zero-input synthesis gaps
+import harness
+
+
+@pytest.mark.parametrize(
+    "shape", [harness.MULTIPLE_INPUTS_INIT, harness.ACCUMULATORS_ONLY,
+              harness.NO_INPUTS_INIT],
+    ids=["multi3", "accs_only", "zero_inputs"])
+def test_gadget_shapes(setup, rng, shape):
+    curve, scheme, keys = setup
+    gen = make_input_gen(curve, keys[0], rng, False)
+    assert harness.gadget_chain_template(
+        "hp_as", scheme, keys, gen, shape, False, rng)

@@ -3,7 +3,7 @@ src/ipa_pc_as/constraints/mod.rs test matrix analog)."""
 
 import pytest
 
-from test_ipa_pc_as import DEGREE, make_input_gen
+from harness import IPA_DEGREE as DEGREE, make_ipa_input_gen as make_input_gen
 from accumulation_tpu.constraints import ipa_pc_as_gadget as gadget
 from accumulation_tpu.core.accumulation import MakeZK
 from accumulation_tpu.curves import PALLAS
@@ -58,3 +58,18 @@ def test_gadget_rejects_tampered_instance(setup, rng):
         acc.instance.ipa_proof)
     assert not gadget.synthesize_and_check(
         curve, keys[1], [i.instance for i in inputs], [], bad, proof)
+
+
+# remaining reference gadget shapes (src/constraints.rs:62-374)
+import harness
+
+
+@pytest.mark.parametrize(
+    "shape", [harness.MULTIPLE_INPUTS_INIT, harness.ACCUMULATORS_ONLY,
+              harness.NO_INPUTS_INIT],
+    ids=["multi3", "accs_only", "zero_inputs"])
+def test_gadget_shapes(setup, rng, shape):
+    curve, scheme, keys = setup
+    gen = make_input_gen(curve, keys[0], rng, False)
+    assert harness.gadget_chain_template(
+        "ipa_pc_as", scheme, keys, gen, shape, False, rng)

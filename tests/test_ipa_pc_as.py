@@ -2,19 +2,17 @@
 (/root/reference/src/ipa_pc_as/mod.rs:859-1112: six shapes at degree 11,
 zk and non-zk)."""
 
-import numpy as np
 import pytest
 
 import harness
 from accumulation_tpu.core.accumulation import InstanceWitnessPair
 from accumulation_tpu.curves import PALLAS
 from accumulation_tpu.fields import fp
-from accumulation_tpu.ops import poly as poly_ops
 from accumulation_tpu.pc import ipa_pc
 from accumulation_tpu.schemes.ipa_pc_as import (AtomicASForInnerProductArgPC,
                                                 InputInstance, PredicateIndex)
 
-DEGREE = 11  # rounds up to n = 16 internally
+DEGREE = harness.IPA_DEGREE  # 11 — rounds up to n = 16 internally
 
 
 @pytest.fixture(scope="module")
@@ -26,27 +24,7 @@ def setup():
     return curve, scheme, keys
 
 
-def make_input_gen(curve, pk, rng, make_zk):
-    ck = pk.ipa_ck
-
-    def generate(n):
-        out = []
-        for _ in range(n):
-            coeffs = fp.random_elements(curve.fr, rng, (DEGREE + 1,))
-            point = fp.random_elements(curve.fr, rng, ())
-            value = poly_ops.evaluate(curve.fr, coeffs, point)
-            if make_zk:
-                omega = fp.random_elements(curve.fr, rng, ())
-                comm = ipa_pc.commit(curve, ck, coeffs, omega)
-                proof = ipa_pc.open(curve, ck, coeffs, comm, point,
-                                    rand=omega, hiding=True, rng=rng)
-            else:
-                comm = ipa_pc.commit(curve, ck, coeffs)
-                proof = ipa_pc.open(curve, ck, coeffs, comm, point)
-            inst = InputInstance(comm, point, value, proof)
-            out.append(InstanceWitnessPair(inst, None))
-        return out
-    return generate
+make_input_gen = harness.make_ipa_input_gen
 
 
 SHAPES = {

@@ -71,3 +71,18 @@ def test_costs_breakdown(setup, rng):
         curve, keys[1], [i.instance for i in inputs], [], acc.instance, proof)
     print("\nASForR1CSNark verifier gadget costs:", counts)
     assert counts["verify"] > 0
+
+
+# remaining reference gadget shapes (src/constraints.rs:62-374)
+import harness
+
+
+@pytest.mark.parametrize(
+    "shape", [harness.MULTIPLE_INPUTS_INIT, harness.ACCUMULATORS_ONLY,
+              harness.NO_INPUTS_INIT],
+    ids=["multi3", "accs_only", "zero_inputs"])
+def test_gadget_shapes(setup, rng, shape):
+    curve, scheme, keys, nark, ipk = setup
+    gen = make_input_gen(curve, nark, ipk, rng, False)
+    assert harness.gadget_chain_template(
+        "r1cs_nark_as", scheme, keys, gen, shape, False, rng)

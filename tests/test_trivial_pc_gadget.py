@@ -64,3 +64,18 @@ def test_costs_breakdown(setup, rng):
         curve, keys[1], [i.instance for i in inputs], [], acc.instance, proof)
     print("\nASForTrivialPC verifier gadget costs:", counts)
     assert counts["verify"] > 0
+
+
+# remaining reference gadget shapes (src/constraints.rs:62-374)
+import harness
+
+
+@pytest.mark.parametrize(
+    "shape", [harness.MULTIPLE_INPUTS_INIT, harness.ACCUMULATORS_ONLY,
+              harness.NO_INPUTS_INIT],
+    ids=["multi3", "accs_only", "zero_inputs"])
+def test_gadget_shapes(setup, rng, shape):
+    curve, scheme, keys = setup
+    gen = make_input_gen(curve, keys[0], rng)
+    assert harness.gadget_chain_template(
+        "trivial_pc_as", scheme, keys, gen, shape, False, rng)

@@ -50,7 +50,19 @@ os.environ.setdefault("ACCUM_TPU_MSM_ENGINE", "u32")
 
 import numpy as np
 
-R01_MSM_2E16_PPS = 38590.0  # BENCH_r01.json, same machine
+# BENCH_r01.json, same machine.  DISAVOWED as a product number: it was a
+# bench-only lane-engine run with an optimistic fixed slot bound (see
+# CLAUDE.md round-2 notes); kept only so vs_baseline stays a like-for-like
+# progress ratio across rounds.
+R01_MSM_2E16_PPS = 38590.0
+
+# External yardstick (this machine has no Rust toolchain to run the
+# reference): desktop/server-CPU arkworks ark-ec Pippenger throughput at
+# 2^16..2^20 is commonly reported around 0.5-1.5e6 points/s multi-threaded
+# (order of magnitude from public ark-ec 0.4 MSM benchmarks on 8-16 core
+# CPUs).  Pinned as 1.0e6 pts/s: a DOCUMENTED ESTIMATE for the
+# vs_arkworks_cpu_est ratio, not a measurement.
+ARKWORKS_CPU_MSM_PPS_EST = 1.0e6
 
 
 def _sync(x):
@@ -236,6 +248,9 @@ def main():
         "value": round(pps_n, 1),
         "unit": "points/s",
         "vs_baseline": round(vs_baseline, 3),
+        "vs_baseline_note": "ratio vs round-1's DISAVOWED bench-only "
+                            "lane-engine 2^16 number (38.6k pts/s)",
+        "vs_arkworks_cpu_est": round(pps_n / ARKWORKS_CPU_MSM_PPS_EST, 4),
     }
     out.update(extra)
     print(json.dumps(out))

@@ -22,6 +22,35 @@ def test_round_numbers_and_mds(spec):
     assert report["mds_sbox_orbit_full_rank"]
 
 
+def test_golden_margin_report():
+    """Pin the analysis output itself (round-2 verdict weak #7): the exact
+    bound values for the shipped instance, hand-checkable against the
+    Poseidon paper's §5.5 formulas at M=128, alpha=5, t=3:
+      statistical: (n - log2 4)(t+1) >= 128 -> RF_min = 6
+      interpolation: ceil(log5(2)*128) + ceil(log5 3) + 1 = 56 + 1 + 1 = 58
+      Groebner: max(128/3, 128/2 + log2 3) / log2 5 = 65.585/2.322 = 28.2
+      need = 58 * 1.075 = 62.35 < 64 = RF + RP (margin 1.65 -> 1.7)
+    Any change to constants/rounds/fields must consciously re-derive these.
+
+    Char-poly irreducibility is informational (the STRONGER "no invariant
+    subspace at all" property): the Pasta Cauchy matrices' cubics happen to
+    be reducible; the load-bearing GRS condition is the S-box-orbit one,
+    asserted inside verify_instance for every field."""
+    golden = {
+        "rf": 8, "rp": 56, "rf_min_stat": 6,
+        "total_min_interp": 58.0, "total_min_groebner": 28.2,
+        "margin_total": 1.7,
+        "mds_sbox_orbit_full_rank": True,
+    }
+    irreducible = {"pallas_fq": False, "pallas_fr": False,
+                   "bls12_381_fq": True}
+    for spec in (FQ, FR, FQ381):
+        report = ps.verify_instance(spec)
+        got = {k: report[k] for k in golden}
+        assert got == golden, f"{spec.name}: {got} != {golden}"
+        assert report["mds_char_poly_irreducible"] == irreducible[spec.name]
+
+
 def test_orbit_check_detects_bad_matrix(monkeypatch):
     """A diagonal (invariant-subspace-riddled) linear layer must fail."""
     from accumulation_tpu.ops import poseidon

@@ -1,5 +1,5 @@
 from . import weierstrass
-from .weierstrass import Affine, Jacobian, CurveSpec, make_curve
+from .weierstrass import Affine, Projective, CurveSpec, make_curve
 from ..fields.pasta import FQ, FR
 
 # The Pallas curve of the Pasta cycle: y^2 = x^3 + 5 over FQ, generator (-1, 2)

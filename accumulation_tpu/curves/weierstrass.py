@@ -9,7 +9,7 @@ homogeneous projective coordinates with the *complete* addition formulas of
 Renes-Costello-Batina 2015 (algorithms 7-9, a = 0): a single branch-free
 code path covers doubling, inverses and the identity (0 : 1 : 0), which is
 exactly what a TPU wants — no `where` cascades, no data-dependent control
-flow, and roughly half the field-multiplications of a guarded Jacobian
+flow, and roughly half the field-multiplications of a guarded Projective
 implementation.  An affine point carries an explicit `inf` flag (used only at
 the API boundary and for mixed addition's one select).
 """
@@ -38,10 +38,6 @@ class Projective(NamedTuple):
     x: jnp.ndarray
     y: jnp.ndarray
     z: jnp.ndarray  # (0 : 1 : 0) is the identity
-
-
-# Backwards-compatible alias (the API is coordinate-system agnostic).
-Jacobian = Projective
 
 
 @dataclass(frozen=True, eq=False)
@@ -88,15 +84,12 @@ def affine_zero(curve: CurveSpec, shape=()) -> Affine:
     return Affine(z, z, jnp.ones(shape, bool))
 
 
-def jacobian_zero(curve: CurveSpec, shape=()) -> Projective:
+def projective_zero(curve: CurveSpec, shape=()) -> Projective:
     """The identity (0 : 1 : 0), batched."""
     nl = curve.fq.nlimbs
     z = jnp.zeros(shape + (nl,), DTYPE)
     one = jnp.broadcast_to(jnp.asarray(curve.fq.one_mont, DTYPE), shape + (nl,))
     return Projective(z, one, jnp.zeros(shape + (nl,), DTYPE))
-
-
-projective_zero = jacobian_zero
 
 
 def generator(curve: CurveSpec) -> Affine:
@@ -280,8 +273,8 @@ def _dbl_raw(curve: CurveSpec, p: Projective) -> Projective:
     return Projective(X3, Y3, Z3)
 
 
-jac_add = _cjit(_add_raw)
-jac_add_affine = _cjit(_add_mixed_raw)
+proj_add = _cjit(_add_raw)
+proj_add_affine = _cjit(_add_mixed_raw)
 jac_double = _cjit(_dbl_raw)
 
 
@@ -319,7 +312,7 @@ def scalar_mul(curve: CurveSpec, p: Projective, scalar_mont) -> Projective:
         acc = _where_pt(bit == 1, added, acc)
         return acc, None
 
-    init = jacobian_zero(curve, p.z.shape[:-1])
+    init = projective_zero(curve, p.z.shape[:-1])
     acc, _ = jax.lax.scan(body, init, jnp.arange(nbits))
     return acc
 
@@ -330,7 +323,7 @@ def scalar_mul_int(curve: CurveSpec, p: Projective, k: int) -> Projective:
     Used for cofactor clearing after hash-to-curve sampling (k = the curve's
     cofactor, an integer NOT reduced mod fr)."""
     if k == 0:
-        return jacobian_zero(curve, p.z.shape[:-1])
+        return projective_zero(curve, p.z.shape[:-1])
     bits = jnp.asarray([int(b) for b in bin(k)[2:]], jnp.uint32)
 
     def body(acc, bit):
@@ -338,7 +331,7 @@ def scalar_mul_int(curve: CurveSpec, p: Projective, k: int) -> Projective:
         added = _add_raw(curve, acc, p)
         return _where_pt(bit == 1, added, acc), None
 
-    acc, _ = jax.lax.scan(body, jacobian_zero(curve, p.z.shape[:-1]), bits)
+    acc, _ = jax.lax.scan(body, projective_zero(curve, p.z.shape[:-1]), bits)
     return acc
 
 
@@ -346,10 +339,10 @@ def _tree_reduce(curve: CurveSpec, pts: Projective) -> Projective:
     """Sum points over the leading axis with a log-depth add tree."""
     n = pts.z.shape[0]
     if n == 0:
-        return jacobian_zero(curve, pts.z.shape[1:-1])
+        return projective_zero(curve, pts.z.shape[1:-1])
     m = 1 << (n - 1).bit_length()
     if m != n:
-        pad = jacobian_zero(curve, (m - n,) + pts.z.shape[1:-1])
+        pad = projective_zero(curve, (m - n,) + pts.z.shape[1:-1])
         pts = Projective(*(jnp.concatenate([a, b], 0) for a, b in zip(pts, pad)))
     while m > 1:
         half = m // 2
@@ -370,11 +363,11 @@ def msm_bitserial(curve: CurveSpec, points: Affine, scalars_mont) -> Projective:
     def body(acc, i):
         acc = _dbl_raw(curve, acc)
         mask = bits[:, nbits - 1 - i] == 1
-        sel = _where_pt(mask, pts, jacobian_zero(curve, (bits.shape[0],)))
+        sel = _where_pt(mask, pts, projective_zero(curve, (bits.shape[0],)))
         acc = _add_raw(curve, acc, _tree_reduce(curve, sel))
         return acc, None
 
-    acc, _ = jax.lax.scan(body, jacobian_zero(curve, ()), jnp.arange(nbits))
+    acc, _ = jax.lax.scan(body, projective_zero(curve, ()), jnp.arange(nbits))
     return acc
 
 
@@ -388,9 +381,9 @@ def lincomb(curve: CurveSpec, points: Projective, scalars_mont) -> Projective:
     def body(acc, i):
         acc = _dbl_raw(curve, acc)
         mask = bits[:, nbits - 1 - i] == 1
-        sel = _where_pt(mask, points, jacobian_zero(curve, (bits.shape[0],)))
+        sel = _where_pt(mask, points, projective_zero(curve, (bits.shape[0],)))
         acc = _add_raw(curve, acc, _tree_reduce(curve, sel))
         return acc, None
 
-    acc, _ = jax.lax.scan(body, jacobian_zero(curve, ()), jnp.arange(nbits))
+    acc, _ = jax.lax.scan(body, projective_zero(curve, ()), jnp.arange(nbits))
     return acc

@@ -102,8 +102,8 @@ def hp_prove_fused(curve: CurveSpec, gens: Affine, inst_comms: Affine,
             t_comms.x[m - 1:], t_comms.y[m - 1:], t_comms.inf[m - 1:]))
         low_add = wst.lincomb(curve, low, nus[:m - 1])
         high_add = wst.lincomb(curve, high, nus[m:2 * m - 1])
-        comb_3 = wst.jac_add(curve, low_add,
-                             wst.jac_add(curve, high_add, comm3_scaled))
+        comb_3 = wst.proj_add(curve, low_add,
+                             wst.proj_add(curve, high_add, comm3_scaled))
     else:
         comb_3 = comm3_scaled
     acc_comms = wst.to_affine(curve, Projective(

@@ -218,8 +218,8 @@ def _round_body(curve: CurveSpec, cwin: int, s: int, sp: DeviceSponge,
     else:
         ml, of_l = _msm_static(curve, g_lo, a_hi, cwin, s)
         mr, of_r = _msm_static(curve, g_hi, a_lo, cwin, s)
-    l_pt = wst.jac_add(curve, ml, wst.scalar_mul(curve, u, ip_l))
-    r_pt = wst.jac_add(curve, mr, wst.scalar_mul(curve, u, ip_r))
+    l_pt = wst.proj_add(curve, ml, wst.scalar_mul(curve, u, ip_l))
+    r_pt = wst.proj_add(curve, mr, wst.scalar_mul(curve, u, ip_r))
     lr = wst.to_affine(curve, Projective(
         jnp.stack([l_pt.x, r_pt.x]), jnp.stack([l_pt.y, r_pt.y]),
         jnp.stack([l_pt.z, r_pt.z])))
@@ -287,7 +287,7 @@ def _fold_g(curve: CurveSpec, g_lo: Affine, g_hi: Affine, xi_inv_bits):
         acc = wst._where_pt(take, added, acc)
         return acc, None
 
-    init = wst.jacobian_zero(curve, hi_p.z.shape[:-1])
+    init = wst.projective_zero(curve, hi_p.z.shape[:-1])
     mult, _ = jax.lax.scan(body, init, jnp.arange(256))
     summed = wst._add_raw(curve, mult, wst.from_affine(curve, g_lo))
     return wst.to_affine(curve, summed)

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves import weierstrass as wst
-from ..curves.weierstrass import Affine, Jacobian, CurveSpec
+from ..curves.weierstrass import Affine, Projective, CurveSpec
 from ..fields import fp
 from ..fields.fp import NLIMBS, DTYPE, LIMB_BITS, LIMB_MASK
 
@@ -277,7 +277,7 @@ def _split_hot_window(mag, signs, ranks, s_bulk: int, reps: int):
 def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
                   c: int, s: int, unrolls=None, signs=None,
                   signed: bool = False, overflow=None,
-                  dbl_counts=None) -> Jacobian:
+                  dbl_counts=None) -> Projective:
     """Builds the slot matrix and returns the full MSM result.
 
     unrolls: optional (sweep_chunk, agg_unroll, dbl_unroll) static override
@@ -342,11 +342,11 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
         qy = py[idx_block]
         qinf = pinf[idx_block]
         for t in range(chunk):
-            acc = wst.jac_add_affine(
+            acc = wst.proj_add_affine(
                 curve, acc, Affine(qx[t], qy[t], qinf[t]))
         return acc, None
 
-    init = wst.jacobian_zero(curve, (w, nb))
+    init = wst.projective_zero(curve, (w, nb))
     buckets, _ = (jax.lax.scan(body, init, slots_c)
                   if s > 0 else (init, None))
 
@@ -357,26 +357,26 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
     # replaces the former running/total sequential scan, whose ~2*nb narrow
     # (W-wide) steps were pure launch/loop latency on TPU (~400 ms of the
     # 2^16 MSM; experiments/profile_out.txt).
-    bpos = Jacobian(buckets.x[:, 1:], buckets.y[:, 1:], buckets.z[:, 1:])
-    rev = Jacobian(bpos.x[:, ::-1], bpos.y[:, ::-1], bpos.z[:, ::-1])
+    bpos = Projective(buckets.x[:, 1:], buckets.y[:, 1:], buckets.z[:, 1:])
+    rev = Projective(bpos.x[:, ::-1], bpos.y[:, ::-1], bpos.z[:, ::-1])
     suf = jax.lax.associative_scan(
-        lambda p, q: wst.jac_add(curve, p, q), rev, axis=1)
+        lambda p, q: wst.proj_add(curve, p, q), rev, axis=1)
     # sum the nb-1 suffix sums per window: tree reduce over the bucket axis
     m_ax = nb - 1
     pts_agg = suf
     while m_ax > 1:
         half_ax = m_ax // 2
-        left = Jacobian(*(t[:, :half_ax] for t in pts_agg))
-        right = Jacobian(*(t[:, half_ax:2 * half_ax] for t in pts_agg))
-        summed = wst.jac_add(curve, left, right)
+        left = Projective(*(t[:, :half_ax] for t in pts_agg))
+        right = Projective(*(t[:, half_ax:2 * half_ax] for t in pts_agg))
+        summed = wst.proj_add(curve, left, right)
         if m_ax % 2:
-            summed = Jacobian(*(jnp.concatenate([a, b[:, -1:]], axis=1)
+            summed = Projective(*(jnp.concatenate([a, b[:, -1:]], axis=1)
                                 for a, b in zip(summed, pts_agg)))
             m_ax = half_ax + 1
         else:
             m_ax = half_ax
         pts_agg = summed
-    window_sums = Jacobian(pts_agg.x[:, 0], pts_agg.y[:, 0], pts_agg.z[:, 0])
+    window_sums = Projective(pts_agg.x[:, 0], pts_agg.y[:, 0], pts_agg.z[:, 0])
 
     # --- overflow window (k+r recode carry): masked tree-sum ---------------
     # value 2^256 * sum_{overflow_i} G_i; appended as window index W whose
@@ -386,12 +386,12 @@ def _bucket_phase(curve: CurveSpec, points: Affine, sorted_digits, perm_ranks,
         fq_one = jnp.broadcast_to(
             jnp.asarray(curve.fq.one_mont, DTYPE), points.x.shape)
         live = overflow & ~points.inf
-        s_pts = Jacobian(
+        s_pts = Projective(
             jnp.where(live[:, None], points.x, jnp.zeros_like(points.x)),
             jnp.where(live[:, None], points.y, fq_one),
             jnp.where(live[:, None], fq_one, jnp.zeros_like(points.x)))
         s_sum = wst._tree_reduce(curve, s_pts)
-        window_sums = Jacobian(
+        window_sums = Projective(
             jnp.concatenate([window_sums.x, s_sum.x[None]], axis=0),
             jnp.concatenate([window_sums.y, s_sum.y[None]], axis=0),
             jnp.concatenate([window_sums.z, s_sum.z[None]], axis=0))
@@ -453,8 +453,8 @@ def _plan_split(mag, signs, ranks, wm, c: int, n: int):
     return mag, signs, ranks, s_bulk, dbl_counts
 
 
-def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobian:
-    """MSM: sum_i scalars[i] * points[i] -> Jacobian point.
+def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Projective:
+    """MSM: sum_i scalars[i] * points[i] -> Projective point.
 
     points: (N,) Affine, scalars_mont: (N, NLIMBS) Montgomery Fr.
     Small N uses the bit-serial kernel (one jit, no host sync); large N uses
@@ -462,7 +462,7 @@ def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobi
     """
     n = points.x.shape[0]
     if n == 0:
-        return wst.jacobian_zero(curve, ())
+        return wst.projective_zero(curve, ())
     if n <= SMALL_N_THRESHOLD:
         return wst.msm_bitserial(curve, points, scalars_mont)
     # transparent multi-chip dispatch: when an active mesh is set
@@ -487,7 +487,7 @@ def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobi
     )
     wm = np.asarray(wmaxes)  # host sync (W small ints, one readback)
     if int(wm.max()) == 0:
-        return wst.jacobian_zero(curve, ())
+        return wst.projective_zero(curve, ())
     if _use_fp8_engine():
         # the experimental f32 engine keeps the plain shared-bound layout
         from . import msm8
@@ -509,8 +509,8 @@ def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Jacobi
                          dbl_counts=dbl_counts)
 
 
-def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
-    """Batched MSM sharing one point set: scalars (B, N, NLIMBS) -> (B,) Jacobian.
+def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Projective:
+    """Batched MSM sharing one point set: scalars (B, N, NLIMBS) -> (B,) Projective.
 
     Used for committing many equal-length vectors under one Pedersen key
     (e.g. the 2m-2 t-vec commitments, reference src/hp_as/mod.rs:354-388).
@@ -518,7 +518,7 @@ def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
     n = points.x.shape[0]
     b = scalars_mont.shape[0]
     if b == 0:
-        return wst.jacobian_zero(curve, (0,))
+        return wst.projective_zero(curve, (0,))
     if n <= SMALL_N_THRESHOLD:
         return jax.vmap(lambda s: wst.msm_bitserial(curve, points, s))(scalars_mont)
     from ..parallel import context as par_context
@@ -534,7 +534,7 @@ def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
             msm_1 = lambda s: sharded.msm_sharded(
                 curve, mesh, points, s)
         outs = [msm_1(scalars_mont[i]) for i in range(b)]
-        return Jacobian(
+        return Projective(
             jnp.stack([o.x for o in outs]),
             jnp.stack([o.y for o in outs]),
             jnp.stack([o.z for o in outs]))
@@ -544,7 +544,7 @@ def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Jacobian:
     )(scalars_mont)
     wm = np.asarray(jnp.max(wmaxes, axis=0))  # (W,) shared over the batch
     if int(wm.max()) == 0:
-        return wst.jacobian_zero(curve, (b,))
+        return wst.projective_zero(curve, (b,))
     if _use_fp8_engine():
         # the experimental f32 engine keeps the plain shared-bound layout
         from . import msm8

@@ -466,7 +466,7 @@ def msm8(curve: CurveSpec, points: Affine, scalars_mont, c: int = 8,
     if s is None:
         s = int(jnp.max(wmaxes))
         if s == 0:
-            return wst.jacobian_zero(curve, ())
+            return wst.projective_zero(curve, ())
         s = msm_mod._quantize_slots(s, points.x.shape[0])
     n = points.x.shape[0]
     perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape)

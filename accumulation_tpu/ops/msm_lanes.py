@@ -304,7 +304,7 @@ def msm_lanes(curve: CurveSpec, points: Affine, scalars_mont, c: int = 8):
         curve, scalars_mont, c)
     s = int(max_count)
     if s == 0:
-        return wst.jacobian_zero(curve, ())
+        return wst.projective_zero(curve, ())
     s = min(1 << (s - 1).bit_length(), points.x.shape[0])
     s = max(s, 16)
     return bucket_phase_lanes(curve, points, sorted_digits, (perm, ranks), c, s)

@@ -161,7 +161,7 @@ def msm_sharded_2d(curve: CurveSpec, mesh: Mesh, points: Affine,
     mag, signs, ranks, overflow, wmaxes = ranks_mapped(scalars_mont)
     wm = np.asarray(wmaxes)  # host sync: W small ints, grid-maxed
     if int(wm.max()) == 0:
-        return wst.jacobian_zero(curve, ())
+        return wst.projective_zero(curve, ())
     mag, signs, ranks, s, dbl_counts = msm_mod._plan_split(
         mag, signs, ranks, wm, c, n_loc)
 

@@ -96,7 +96,7 @@ def msm_sharded(curve: CurveSpec, mesh: Mesh, points: Affine, scalars_mont,
     mag, signs, ranks, overflow, wmaxes = ranks_mapped(scalars_mont)
     wm = np.asarray(wmaxes)  # host sync (W small ints, mesh-maxed)
     if int(wm.max()) == 0:
-        return wst.jacobian_zero(curve, ())
+        return wst.projective_zero(curve, ())
     # split planning uses the mesh-wide per-window maxes; each shard's
     # local ranks are <= the mesh max, so the replica-row selection is
     # valid shard-locally (the row axis stays replicated, P(None, AXIS))
@@ -165,7 +165,7 @@ def pedersen_commit_sharded(curve: CurveSpec, mesh: Mesh, gens: Affine,
             jnp.broadcast_to(hj.x, (b, NLIMBS)),
             jnp.broadcast_to(hj.y, (b, NLIMBS)),
             jnp.broadcast_to(hj.z, (b, NLIMBS)))
-        out = wst.jac_add(curve, out, wst.scalar_mul(curve, hb, randomness))
+        out = wst.proj_add(curve, out, wst.scalar_mul(curve, hb, randomness))
     return out
 
 

@@ -168,7 +168,7 @@ def commit(curve: CurveSpec, ck: CommitterKey, coeffs, randomness=None) -> Affin
     gens = Affine(ck.comm_key.x[:k], ck.comm_key.y[:k], ck.comm_key.inf[:k])
     acc = msm_mod.msm(curve, gens, coeffs)
     if randomness is not None:
-        acc = wst.jac_add(
+        acc = wst.proj_add(
             curve, acc,
             wst.scalar_mul(curve, wst.from_affine(curve, ck.s), randomness))
     return wst.to_affine(curve, acc)
@@ -199,7 +199,7 @@ def _fold_points(curve: CurveSpec, lo: Projective, hi: Projective, nbits: int,
         acc = wst._where_pt(take, added, acc)
         return acc, None
 
-    init = wst.jacobian_zero(curve, hi.z.shape[:-1])
+    init = wst.projective_zero(curve, hi.z.shape[:-1])
     mult, _ = jax.lax.scan(body, init, jnp.arange(nbits))
     return wst._add_raw(curve, lo, mult)
 
@@ -252,7 +252,7 @@ def _round0(curve, sponge: PoseidonSponge, comm: Affine, point, value,
     if hiding_comm is not None:
         scommon.absorb_affine(sponge, curve, hiding_comm)
         alpha = sponge.squeeze_nonnative_truncated(CHALLENGE_SIZE)[0]
-        comm_p = wst.jac_add(
+        comm_p = wst.proj_add(
             curve, comm_p,
             wst.scalar_mul(curve, wst.from_affine(curve, hiding_comm),
                            fp.from_int(fr, alpha)))
@@ -260,7 +260,7 @@ def _round0(curve, sponge: PoseidonSponge, comm: Affine, point, value,
     if rand is not None:
         sponge.absorb_scalar(fp.to_int(fr, rand))
         s_neg = wst.jac_neg(curve, wst.from_affine(curve, svk_s))
-        comm_p = wst.jac_add(
+        comm_p = wst.proj_add(
             curve, comm_p, wst.scalar_mul(curve, s_neg, rand))
     xi0 = sponge.squeeze_nonnative_truncated(CHALLENGE_SIZE)[0]
     return comm_p, xi0, alpha, rand
@@ -356,10 +356,10 @@ def open_host(curve: CurveSpec, ck: CommitterKey, coeffs, comm: Affine, point,
 
         # C' = C + xi*l + xi^{-1}*r with a' = a_lo + xi a_hi and
         # b'/G' folded by xi^{-1}:
-        l_pt = wst.jac_add(
+        l_pt = wst.proj_add(
             curve, _msm_proj(curve, g_lo, a_hi),
             wst.scalar_mul(curve, u, _inner_product(curve, a_hi, b_lo)))
-        r_pt = wst.jac_add(
+        r_pt = wst.proj_add(
             curve, _msm_proj(curve, g_hi, a_lo),
             wst.scalar_mul(curve, u, _inner_product(curve, a_lo, b_hi)))
         lr = wst.to_affine(curve, Projective(
@@ -419,7 +419,7 @@ def succinct_check(curve: CurveSpec, svk: SuccinctVerifierKey, comm: Affine,
 
     u_base = wst.from_affine(curve, svk.h)
     u = wst.scalar_mul(curve, u_base, fp.from_int(fr, xi0_int))
-    c_acc = wst.jac_add(curve, comm_p, wst.scalar_mul(curve, u, value))
+    c_acc = wst.proj_add(curve, comm_p, wst.scalar_mul(curve, u, value))
 
     k = proof.l_vec.x.shape[0]
     xi_invs = []
@@ -432,9 +432,9 @@ def succinct_check(curve: CurveSpec, svk: SuccinctVerifierKey, comm: Affine,
         xi = fp.from_int(fr, xi_int)
         xi_inv = fp.inv(fr, xi)
         xi_invs.append(xi_inv)
-        c_acc = wst.jac_add(
+        c_acc = wst.proj_add(
             curve, c_acc,
-            wst.jac_add(
+            wst.proj_add(
                 curve,
                 wst.scalar_mul(curve, wst.from_affine(curve, l_aff), xi),
                 wst.scalar_mul(curve, wst.from_affine(curve, r_aff), xi_inv)))
@@ -444,7 +444,7 @@ def succinct_check(curve: CurveSpec, svk: SuccinctVerifierKey, comm: Affine,
         jnp.stack(xi_invs) if xi_invs else jnp.zeros((0, NLIMBS), DTYPE))
     b_final = check_poly.evaluate(fr, point)
     c_final = proof.c
-    expect = wst.jac_add(
+    expect = wst.proj_add(
         curve,
         wst.scalar_mul(curve, wst.from_affine(curve, proof.final_comm_key),
                        c_final),

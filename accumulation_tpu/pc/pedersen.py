@@ -146,7 +146,7 @@ def commit(curve: CurveSpec, ck: PedersenKey, elems, randomness=None) -> Affine:
     acc = msm_mod.msm(curve, gens, elems)
     if randomness is not None:
         h_j = wst.from_affine(curve, ck.hiding_generator)
-        acc = wst.jac_add(curve, acc, wst.scalar_mul(curve, h_j, randomness))
+        acc = wst.proj_add(curve, acc, wst.scalar_mul(curve, h_j, randomness))
     return wst.to_affine(curve, acc)
 
 
@@ -165,5 +165,5 @@ def commit_batched(curve: CurveSpec, ck: PedersenKey, elems, randomness=None) ->
             jnp.broadcast_to(h_j.y, (b, NLIMBS)),
             jnp.broadcast_to(h_j.z, (b, NLIMBS)),
         )
-        acc = wst.jac_add(curve, acc, wst.scalar_mul(curve, hb, randomness))
+        acc = wst.proj_add(curve, acc, wst.scalar_mul(curve, hb, randomness))
     return wst.to_affine(curve, acc)

@@ -183,7 +183,7 @@ class ASForHadamardProducts(AccumulationScheme):
         """sum_i challenges[i]*comms[i] (+ extra projective point)."""
         acc = wst.lincomb(self.curve, wst.from_affine(self.curve, comms), challenges)
         if extra is not None:
-            acc = wst.jac_add(self.curve, acc, extra)
+            acc = wst.proj_add(self.curve, acc, extra)
         return acc
 
     def _combined_instance(self, instances: List[InputInstance], proof: Proof,
@@ -213,8 +213,8 @@ class ASForHadamardProducts(AccumulationScheme):
         comm3_scaled = wst.scalar_mul(curve, comm3_inner, nu_m[m - 1])
         comb_3 = comm3_scaled
         if low_addend is not None:
-            comb_3 = wst.jac_add(curve, low_addend,
-                                 wst.jac_add(curve, high_addend, comm3_scaled))
+            comb_3 = wst.proj_add(curve, low_addend,
+                                 wst.proj_add(curve, high_addend, comm3_scaled))
         batch = wst.to_affine(curve, wst.Projective(
             jnp.stack([comb_1.x, comb_2.x, comb_3.x]),
             jnp.stack([comb_1.y, comb_2.y, comb_3.y]),

@@ -173,12 +173,12 @@ class AtomicASForInnerProductArgPC(AtomicAccumulationScheme):
             comm_keys = common.stack_affine([ck for _, ck in succinct_checks])
             combined = wst.lincomb(curve, wst.from_affine(curve, comm_keys), lams)
         else:
-            combined = wst.jacobian_zero(curve, ())
+            combined = wst.projective_zero(curve, ())
         if proof is not None:
-            combined = wst.jac_add(
+            combined = wst.proj_add(
                 curve, combined,
                 wst.from_affine(curve, proof.random_linear_polynomial_commitment))
-            randomized = wst.jac_add(
+            randomized = wst.proj_add(
                 curve, combined,
                 wst.scalar_mul(curve, wst.from_affine(curve, svk.s),
                                proof.commitment_randomness))

@@ -246,11 +246,11 @@ class R1CSNark:
         comm_c = wst.from_affine(curve, proof.first_msg.comm_c)
         if proof.first_msg.randomness is not None:
             fr_rand = proof.first_msg.randomness
-            comm_a = wst.jac_add(curve, comm_a, wst.scalar_mul(
+            comm_a = wst.proj_add(curve, comm_a, wst.scalar_mul(
                 curve, wst.from_affine(curve, fr_rand.comm_r_a), gamma))
-            comm_b = wst.jac_add(curve, comm_b, wst.scalar_mul(
+            comm_b = wst.proj_add(curve, comm_b, wst.scalar_mul(
                 curve, wst.from_affine(curve, fr_rand.comm_r_b), gamma))
-            comm_c = wst.jac_add(curve, comm_c, wst.scalar_mul(
+            comm_c = wst.proj_add(curve, comm_c, wst.scalar_mul(
                 curve, wst.from_affine(curve, fr_rand.comm_r_c), gamma))
 
         s_rand = proof.second_msg.randomness
@@ -272,9 +272,9 @@ class R1CSNark:
         if proof.first_msg.randomness is not None:
             fr_rand = proof.first_msg.randomness
             gamma_sq = fp.mul(fr, gamma, gamma)
-            had_comm = wst.jac_add(curve, had_comm, wst.scalar_mul(
+            had_comm = wst.proj_add(curve, had_comm, wst.scalar_mul(
                 curve, wst.from_affine(curve, fr_rand.comm_1), gamma))
-            had_comm = wst.jac_add(curve, had_comm, wst.scalar_mul(
+            had_comm = wst.proj_add(curve, had_comm, wst.scalar_mul(
                 curve, wst.from_affine(curve, fr_rand.comm_2), gamma_sq))
         ok = ok and bool(np.asarray(wst.proj_eq(
             curve, had_comm, wst.from_affine(curve, recon_had))))

@@ -221,18 +221,18 @@ class ASForR1CSNark(AccumulationScheme):
                 gamma = fp.from_int(fr, gamma_int)
                 gamma_sq = fp.mul(fr, gamma, gamma)
                 r = msg.randomness
-                pa = wst.jac_add(
+                pa = wst.proj_add(
                     curve, wst.from_affine(curve, ca),
                     wst.scalar_mul(curve, wst.from_affine(curve, r.comm_r_a), gamma))
-                pb = wst.jac_add(
+                pb = wst.proj_add(
                     curve, wst.from_affine(curve, cb),
                     wst.scalar_mul(curve, wst.from_affine(curve, r.comm_r_b), gamma))
-                pc = wst.jac_add(
+                pc = wst.proj_add(
                     curve, wst.from_affine(curve, cc),
                     wst.scalar_mul(curve, wst.from_affine(curve, r.comm_r_c), gamma))
-                pprod = wst.jac_add(
+                pprod = wst.proj_add(
                     curve, wst.from_affine(curve, cprod),
-                    wst.jac_add(
+                    wst.proj_add(
                         curve,
                         wst.scalar_mul(curve, wst.from_affine(curve, r.comm_1), gamma),
                         wst.scalar_mul(curve, wst.from_affine(curve, r.comm_2), gamma_sq)))

@@ -268,7 +268,7 @@ def msm32(curve: CurveSpec, points: Affine, scalars_mont, c: int = 8):
     s = int(max_count)
     if s == 0:
         from accumulation_tpu.curves import weierstrass as wst
-        return wst.jacobian_zero(curve, ())
+        return wst.projective_zero(curve, ())
     s = min(1 << (s - 1).bit_length(), points.x.shape[0])
     s = max(s, 16)
     pts32 = affine_to_f32(curve, points)

@@ -50,7 +50,7 @@ def _compile_one(spec: str):
         g = wst.affine_zero(curve, (L,))
         return a, g
 
-    u = wst.jacobian_zero(curve, ())
+    u = wst.projective_zero(curve, ())
     t0 = time.time()
     if kind == "prologue":
         # pm is a STATIC arg of _prologue — it must match the (mode, pos)

@@ -113,7 +113,7 @@ def main():
         t_shard = time_graph(fn)
 
         # combine: tree-add of d gathered partials (batched group adds)
-        parts = wst.jacobian_zero(curve, (d,))
+        parts = wst.projective_zero(curve, (d,))
         ones = jnp.asarray(curve.fq.one_mont, fp.DTYPE)
         parts = type(parts)(
             jnp.broadcast_to(pts.x[:d], parts.x.shape),

@@ -111,11 +111,24 @@ def scale(spec: FieldSpec, coeffs, c):
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def powers(spec: FieldSpec, x, n: int):
-    """[1, x, x^2, ..., x^{n-1}] -> (n, L).  Log-depth (associative scan)."""
+    """[1, x, x^2, ..., x^{n-1}] -> (n, L).  Log-depth doubling ladder:
+    p_{2k} = p_k ++ (p_k * x^k).  Same depth as an associative scan but
+    half the multiply work and a gather-free graph — the scan's recursive
+    odd/even interleaving at n = 2^20 produced a graph the XLA:TPU
+    pipeline chewed on for tens of minutes (round-3 prewarm)."""
+    if n <= 0:
+        return jnp.zeros((0, spec.nlimbs), DTYPE)
     one = jnp.asarray(spec.one_mont, DTYPE)
-    xs = jnp.broadcast_to(x, (n,) + x.shape)
-    xs = jnp.concatenate([one[None], xs[:-1]], axis=0) if n > 0 else xs
-    return jax.lax.associative_scan(lambda a, b: fp.mul(spec, a, b), xs, axis=0)
+    p = one[None]           # powers [x^0 .. x^{len-1}]
+    xk = x                  # x^(len) for the current len
+    length = 1
+    while length < n:
+        step = min(length, n - length)
+        p = jnp.concatenate([p, fp.mul(spec, p[:step], xk[None])], axis=0)
+        if 2 * length < n:
+            xk = fp.mul(spec, xk, xk)
+        length += step
+    return p
 
 
 def from_ints(spec: FieldSpec, ints, pad_to=None):

@@ -21,6 +21,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+# XLA:CPU's parallel LLVM codegen dies (ENOMEM / segfault) on the large
+# fused-open graphs this example compiles while generating IPA inputs;
+# single-threaded codegen is sturdy (same mitigation as tests/conftest.py)
+if "xla_cpu_parallel_codegen_split_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_cpu_parallel_codegen_split_count=1"
+                               ).strip()
 
 import numpy as np
 

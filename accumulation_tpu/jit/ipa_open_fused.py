@@ -112,31 +112,74 @@ def _mesh_shardable(mesh, L: int) -> bool:
             and L // mesh.devices.size >= MESH_MIN_LOCAL)
 
 
-def _msm_static_sharded(curve: CurveSpec, mesh, pts: Affine, scalars,
-                        c: int, s: int):
-    """`_msm_static` with the point axis sharded over `mesh` (1-D or the
-    hierarchical ("dcn","ici") grid): per-shard static bucket phase / bit-
-    serial kernel, one all_gather of the partial sums + local tree add,
-    overflow flags OR-reduced over the mesh.  `s` must be the PER-SHARD
-    slot bound (round_plan sizes it for L/(2*n_dev) points)."""
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _msm_static_pair(curve: CurveSpec, pts2: Affine, scalars2, c: int,
+                     s: int):
+    """The round's TWO equal-size cross-term MSMs as ONE vmapped graph.
+
+    pts2: (2, L) Affine, scalars2: (2, L, NLIMBS).  vmap widens tensors
+    instead of duplicating ops, so the jitted round keeps the HLO volume of
+    a single MSM — two separate `_msm_static` subgraphs in one graph
+    OOM-killed the remote TPU compile helper at L = 2^19 (round-3
+    prewarm).  Same batched structure as `ops.msm.msm_batched`.
+    Falls back to two sequential calls for the opt-in non-u32 engines."""
+    L = pts2.x.shape[1]
+    lo = Affine(pts2.x[0], pts2.y[0], pts2.inf[0])
+    hi = Affine(pts2.x[1], pts2.y[1], pts2.inf[1])
+    if L <= msm_mod.SMALL_N_THRESHOLD:
+        out = jax.vmap(
+            lambda px, py, pinf, sc: wst.msm_bitserial(
+                curve, Affine(px, py, pinf), sc))(
+            pts2.x, pts2.y, pts2.inf, scalars2)
+        return out, jnp.zeros((2,), bool)
+    if msm_mod._use_fp8_engine() or msm_mod._use_lane_engine():
+        o0, f0 = _msm_static(curve, lo, scalars2[0], c, s)
+        o1, f1 = _msm_static(curve, hi, scalars2[1], c, s)
+        return (Projective(jnp.stack([o0.x, o1.x]), jnp.stack([o0.y, o1.y]),
+                           jnp.stack([o0.z, o1.z])),
+                jnp.stack([f0, f1]))
+
+    def one(px, py, pinf, scalars):
+        pts = Affine(px, py, pinf)
+        mag, signs, ranks, overflow, wmaxes = \
+            msm_mod._signed_digits_and_ranks(curve, scalars, c)
+        perm = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape)
+        out = msm_mod._bucket_phase(curve, pts, mag, (perm, ranks), c, s,
+                                    signs=signs, signed=True,
+                                    overflow=overflow)
+        return out, jnp.max(wmaxes) > s
+
+    return jax.vmap(one)(pts2.x, pts2.y, pts2.inf, scalars2)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def _msm_static_pair_sharded(curve: CurveSpec, mesh, pts2: Affine, scalars2,
+                             c: int, s: int):
+    """`_msm_static_pair` with the point axis sharded over `mesh`; the
+    batch axis of 2 is replicated.  `s` is the PER-SHARD slot bound."""
     from jax.sharding import PartitionSpec as P
 
     axes = tuple(mesh.axis_names)
 
     def fn(px, py, pinf, sc):
-        local, of = _msm_static(curve, Affine(px, py, pinf), sc, c, s)
-        gx = jax.lax.all_gather(local.x, axes)
-        gy = jax.lax.all_gather(local.y, axes)
-        gz = jax.lax.all_gather(local.z, axes)
-        total = wst._tree_reduce(curve, Projective(gx, gy, gz))
+        local, of = _msm_static_pair(curve, Affine(px, py, pinf), sc, c, s)
+        gx = jax.lax.all_gather(local.x, axes, axis=1)
+        gy = jax.lax.all_gather(local.y, axes, axis=1)
+        gz = jax.lax.all_gather(local.z, axes, axis=1)
+        # gathered shape: (2, n_dev, NLIMBS)
+        # (2, D, NLIMBS) -> tree-add over the device axis per batch row
+        total = jax.vmap(
+            lambda x, y, z: wst._tree_reduce(curve, Projective(x, y, z))
+        )(gx, gy, gz)
         of_any = jax.lax.pmax(of.astype(jnp.int32), axes) > 0
         return total.x, total.y, total.z, of_any
 
     x, y, z, of = jax.shard_map(
         fn, mesh=mesh, check_vma=False,
-        in_specs=(P(axes, None), P(axes, None), P(axes), P(axes, None)),
+        in_specs=(P(None, axes, None), P(None, axes, None), P(None, axes),
+                  P(None, axes, None)),
         out_specs=(P(), P(), P(), P()),
-    )(pts.x, pts.y, pts.inf, scalars)
+    )(pts2.x, pts2.y, pts2.inf, scalars2)
     return Projective(x, y, z), of
 
 
@@ -177,23 +220,80 @@ def _prologue(curve: CurveSpec, n: int, has_rand: bool, pm,
     return sp.state, b, value, xi0
 
 
+# Pivot sizes: big rounds zero-pad up to a pivot so several fold sizes
+# SHARE one compiled (digits, sweep, fold) graph set.  The remote TPU
+# compile of one set runs 30-90 min at big L and is op-count-bound
+# (size-independent), so 9 per-size sets would cost many hours; the
+# power-of-4 default cuts that to 5 for ~1.33x msm-stage work (odd-power
+# rounds run at double size).  ACCUM_TPU_FUSED_PIVOTS="1048576,..." pins
+# an explicit ascending pivot list (e.g. a single pivot = ONE graph set
+# for every big round: maximum compile reuse, ~2x msm-stage work at
+# 2^20).  Padding is transcript-neutral: zero scalars never enter a
+# bucket, infinity points are absorbed by the complete formulas, and the
+# absorbed l/r values are unchanged.
+_PIVOTS = tuple(sorted(
+    int(x) for x in os.environ.get("ACCUM_TPU_FUSED_PIVOTS", "").split(",")
+    if x.strip()))
+
+
+def _pivot(L: int, n: int) -> int:
+    """Smallest configured pivot >= L (power of 4 by default), clamped to
+    the key length n (padding past the key buys nothing)."""
+    for p in _PIVOTS:
+        if p >= L:
+            return min(p, n)
+    p = 1
+    while p < L:
+        p <<= 2
+    return min(p, n)
+
+
 def round_plan(n: int, mesh=None):
-    """Static per-round (L, cwin, slot_bound) schedule for an open at key
-    length n, split into (big_rounds, tail_rounds): big rounds compile one
-    graph each, tail rounds fuse into a single graph.  When a round's MSMs
-    shard over `mesh` (_mesh_shardable), the slot bound is sized for the
+    """Static per-round (L, Lp, cwin, slot_bound) schedule for an open at
+    key length n, split into (big_rounds, tail_rounds): big rounds run at
+    the padded pivot size Lp (graph set shared across rounds with equal
+    Lp), tail rounds fuse into a single graph.  When a round's MSMs shard
+    over `mesh` (_mesh_shardable), the slot bound is sized for the
     PER-SHARD point count."""
     k = n.bit_length() - 1
     n_dev = mesh.devices.size if mesh is not None else 1
     big, tail = [], []
     for i in range(k):
         L = n >> i
-        half = L // 2
-        n_eff = half // n_dev if _mesh_shardable(mesh, half) else half
-        cwin = msm_mod._pick_c(n_eff)
-        s = _slot_bound(n_eff, cwin)
-        (tail if L <= TAIL_MAX else big).append((L, cwin, s))
+        if L <= TAIL_MAX:
+            half = L // 2
+            n_eff = half // n_dev if _mesh_shardable(mesh, half) else half
+            cwin = msm_mod._pick_c(n_eff)
+            tail.append((L, cwin, _slot_bound(n_eff, cwin)))
+        else:
+            Lp = _pivot(L, n)
+            half = Lp // 2
+            n_eff = half // n_dev if _mesh_shardable(mesh, half) else half
+            cwin = msm_mod._pick_c(n_eff)
+            big.append((L, Lp, cwin, _slot_bound(n_eff, cwin)))
     return tuple(big), tuple(tail)
+
+
+def _pad_round_state(curve: CurveSpec, a, b, g: Affine, L: int, Lp: int):
+    """Zero-pad (a, b, g) from L to pivot size Lp, padding EACH HALF so the
+    graph's lo/hi split at Lp/2 hits the real halves: [x_lo 0.. x_hi 0..]."""
+    if L == Lp:
+        return a, b, g
+    half, halfp = L // 2, Lp // 2
+    zpad = jnp.zeros((halfp - half, NLIMBS), DTYPE)
+    inf = wst.affine_zero(curve, (halfp - half,))
+
+    def padv(v):
+        return jnp.concatenate([v[:half], zpad, v[half:], zpad], axis=0)
+
+    a2, b2 = padv(a), padv(b)
+    g2 = Affine(
+        jnp.concatenate([g.x[:half], inf.x, g.x[half:], inf.x], axis=0),
+        jnp.concatenate([g.y[:half], inf.y, g.y[half:], inf.y], axis=0),
+        jnp.concatenate([g.inf[:half], inf.inf, g.inf[half:], inf.inf],
+                        axis=0),
+    )
+    return a2, b2, g2
 
 
 def _round_body(curve: CurveSpec, cwin: int, s: int, sp: DeviceSponge,
@@ -212,12 +312,16 @@ def _round_body(curve: CurveSpec, cwin: int, s: int, sp: DeviceSponge,
 
     ip_l = _inner_product(curve, a_hi, b_lo)
     ip_r = _inner_product(curve, a_lo, b_hi)
+    pts2 = Affine(jnp.stack([g_lo.x, g_hi.x]), jnp.stack([g_lo.y, g_hi.y]),
+                  jnp.stack([g_lo.inf, g_hi.inf]))
+    sc2 = jnp.stack([a_hi, a_lo])
     if _mesh_shardable(mesh, half):
-        ml, of_l = _msm_static_sharded(curve, mesh, g_lo, a_hi, cwin, s)
-        mr, of_r = _msm_static_sharded(curve, mesh, g_hi, a_lo, cwin, s)
+        m2, of2 = _msm_static_pair_sharded(curve, mesh, pts2, sc2, cwin, s)
     else:
-        ml, of_l = _msm_static(curve, g_lo, a_hi, cwin, s)
-        mr, of_r = _msm_static(curve, g_hi, a_lo, cwin, s)
+        m2, of2 = _msm_static_pair(curve, pts2, sc2, cwin, s)
+    ml = Projective(m2.x[0], m2.y[0], m2.z[0])
+    mr = Projective(m2.x[1], m2.y[1], m2.z[1])
+    of_l, of_r = of2[0], of2[1]
     l_pt = wst.proj_add(curve, ml, wst.scalar_mul(curve, u, ip_l))
     r_pt = wst.proj_add(curve, mr, wst.scalar_mul(curve, u, ip_r))
     lr = wst.to_affine(curve, Projective(
@@ -238,16 +342,95 @@ def _round_body(curve: CurveSpec, cwin: int, s: int, sp: DeviceSponge,
     return l_aff, r_aff, a2, b2, g2, of_l | of_r
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _round(curve: CurveSpec, cwin: int, s: int, pm, mesh,
-           state, a, b, g: Affine, u: Projective):
-    """One folding round, fully on device.  Returns
-    (state', l_aff, r_aff, a', b', g'_affine, overflow)."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _half_sweep(curve: CurveSpec, cwin: int, s: int, pts: Affine,
+                mag, signs, ranks, of, wm):
+    """One cross-term bucket phase; flags overflow of the static bound."""
+    L = pts.x.shape[0]
+    perm = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape)
+    out = msm_mod._bucket_phase(curve, pts, mag, (perm, ranks), cwin, s,
+                                signs=signs, signed=True, overflow=of)
+    return out, jnp.max(wm) > s
+
+
+def _round_msms(curve: CurveSpec, cwin: int, s: int, mesh, a, g: Affine):
+    """Heavy half of a big folding round: the two cross-term MSMs, each as
+    TWO jitted dispatches (the shipped digits+ranks graph, then the bucket
+    sweep) with zero host readbacks — `s` is static, so nothing needs a
+    host sync.  Returns (m2 (2,)-batched Projective, of2 (2,) bools).
+
+    Graph granularity is load-bearing (round-3 prewarm, v5e): one graph
+    holding digits AND sweep at L = 2^20 OOM-kills the remote compile
+    helper, and a vmapped (2, L/2) pair — though it compiles — crashes
+    the TPU worker process at RUN time ("kernel fault").  Two sequential
+    dispatches of the unbatched graphs are exactly the shipped
+    `ops.msm.msm` execution shape, which runs at 2^20 in production."""
+    L = a.shape[0]
+    half = L // 2
+    g_lo = Affine(g.x[:half], g.y[:half], g.inf[:half])
+    g_hi = Affine(g.x[half:], g.y[half:], g.inf[half:])
+    if _mesh_shardable(mesh, half):
+        pts2 = Affine(jnp.stack([g_lo.x, g_hi.x]), jnp.stack([g_lo.y, g_hi.y]),
+                      jnp.stack([g_lo.inf, g_hi.inf]))
+        sc2 = jnp.stack([a[half:], a[:half]])
+        return _msm_static_pair_sharded(curve, mesh, pts2, sc2, cwin, s)
+    if half <= msm_mod.SMALL_N_THRESHOLD \
+            or msm_mod._use_fp8_engine() or msm_mod._use_lane_engine():
+        pts2 = Affine(jnp.stack([g_lo.x, g_hi.x]), jnp.stack([g_lo.y, g_hi.y]),
+                      jnp.stack([g_lo.inf, g_hi.inf]))
+        sc2 = jnp.stack([a[half:], a[:half]])
+        return _msm_static_pair(curve, pts2, sc2, cwin, s)
+
+    def one(pts, sc):
+        mag, signs, ranks, of, wm = \
+            msm_mod._signed_digits_and_ranks(curve, sc, cwin)
+        return _half_sweep(curve, cwin, s, pts, mag, signs, ranks, of, wm)
+
+    ml, fl = one(g_lo, a[half:])
+    mr, fr = one(g_hi, a[:half])
+    m2 = Projective(jnp.stack([ml.x, mr.x]), jnp.stack([ml.y, mr.y]),
+                    jnp.stack([ml.z, mr.z]))
+    return m2, jnp.stack([fl, fr])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _round_fold(curve: CurveSpec, pm, state, a, b, g: Affine, u: Projective,
+                m2: Projective):
+    """Light half of a big folding round: L/R assembly (+ u * <a,b> cross
+    inner products), transcript absorb/squeeze, and the a/b/G folds.
+    Returns (state', l_aff, r_aff, a', b', g'_affine)."""
+    fr = curve.fr
     sp = DeviceSponge(curve.fq)
     sp.state, sp.mode, sp.pos = state, pm[0], pm[1]
-    l_aff, r_aff, a2, b2, g2, of = _round_body(
-        curve, cwin, s, sp, a, b, g, u, mesh=mesh)
-    return sp.state, l_aff, r_aff, a2, b2, g2, of
+    L = a.shape[0]
+    half = L // 2
+    a_lo, a_hi = a[:half], a[half:]
+    b_lo, b_hi = b[:half], b[half:]
+    g_lo = Affine(g.x[:half], g.y[:half], g.inf[:half])
+    g_hi = Affine(g.x[half:], g.y[half:], g.inf[half:])
+
+    ip_l = _inner_product(curve, a_hi, b_lo)
+    ip_r = _inner_product(curve, a_lo, b_hi)
+    ml = Projective(m2.x[0], m2.y[0], m2.z[0])
+    mr = Projective(m2.x[1], m2.y[1], m2.z[1])
+    l_pt = wst.proj_add(curve, ml, wst.scalar_mul(curve, u, ip_l))
+    r_pt = wst.proj_add(curve, mr, wst.scalar_mul(curve, u, ip_r))
+    lr = wst.to_affine(curve, Projective(
+        jnp.stack([l_pt.x, r_pt.x]), jnp.stack([l_pt.y, r_pt.y]),
+        jnp.stack([l_pt.z, r_pt.z])))
+    l_aff = Affine(lr.x[0], lr.y[0], lr.inf[0])
+    r_aff = Affine(lr.x[1], lr.y[1], lr.inf[1])
+
+    sp.absorb_point(l_aff)
+    sp.absorb_point(r_aff)
+    xi = sp.squeeze_fr_truncated(fr, CHALLENGE_SIZE)
+    xi_inv = fp.inv(fr, xi)
+
+    a2 = fp.add(fr, a_lo, fp.mul(fr, a_hi, xi[None, :]))
+    b2 = fp.add(fr, b_lo, fp.mul(fr, b_hi, xi_inv[None, :]))
+    xi_inv_bits = fp.canonical_bits(fr, xi_inv, 256)
+    g2 = _fold_g(curve, g_lo, g_hi, xi_inv_bits)
+    return sp.state, l_aff, r_aff, a2, b2, g2
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -333,12 +516,21 @@ def open_fused(curve: CurveSpec, ck, coeffs, comm: Affine, point,
     g = ck.comm_key
     big, tail = round_plan(n, mesh)
     ls, rs, flags = [], [], []
-    for (_L, cwin, s) in big:
-        state, l_aff, r_aff, a, b, g, of = _round(
-            curve, cwin, s, ("squeeze", 1), mesh, state, a, b, g, u)
+    for (L, Lp, cwin, s) in big:
+        # pad to the pivot size (graph reuse, _pivot), run the round as
+        # three device dispatches (digits, sweep, fold) composed on the
+        # host with no readbacks, then slice the fold output back
+        a, b, g = _pad_round_state(curve, a, b, g, L, Lp)
+        m2, of2 = _round_msms(curve, cwin, s, mesh, a, g)
+        state, l_aff, r_aff, a, b, g = _round_fold(
+            curve, ("squeeze", 1), state, a, b, g, u, m2)
+        half = L // 2
+        if Lp != L:
+            a, b = a[:half], b[:half]
+            g = Affine(g.x[:half], g.y[:half], g.inf[:half])
         ls.append(l_aff)
         rs.append(r_aff)
-        flags.append(of)
+        flags.append(jnp.any(of2))
 
     if tail:
         l_stack, r_stack, c_final, final_g, of_tail = _tail(

@@ -19,8 +19,13 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+# FORCE (not setdefault) the CPU env: the ambient environment pins
+# JAX_PLATFORMS=axon, so a setdefault is a no-op and the package would
+# point the persistent XLA cache at the AXON-keyed dir while the backend
+# actually runs CPU — loading remote-machine AOT entries (SIGILL/segfault;
+# CLAUDE.md cross-config cache trap)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 # XLA:CPU's parallel LLVM codegen dies (ENOMEM / segfault) on the large
 # fused-open graphs this example compiles while generating IPA inputs;
 # single-threaded codegen is sturdy (same mitigation as tests/conftest.py)
@@ -108,8 +113,11 @@ def main(only=None):
     cols = ["input_instances", "old_accumulators", "new_accumulator",
             "proof", "verify", "total"]
     for name, counts in rows:
+        # raw dict first — a missing column must never lose the (hours-long)
+        # synthesis result
+        print(f"{name} counts: {counts}", flush=True)
         print(f"| {name} | " + " | ".join(
-            f"{counts[c]:,}" for c in cols) + " |", flush=True)
+            f"{counts.get(c, 0):,}" for c in cols) + " |", flush=True)
 
 
 COLS = ["input_instances", "old_accumulators", "new_accumulator",

@@ -67,12 +67,16 @@ def _compile_one(spec: str):
         point = jnp.zeros((NLIMBS,), DTYPE)
         out = fo._prologue(curve, n, False, pm, state, a, comm,
                            point, point)
-    elif kind == "round":
+    elif kind == "rmsm":
+        # compiles BOTH graphs of the round's msm half (digits + sweep)
         L, cwin, s = (int(x) for x in arg.split(","))
         a, g = dummy(L)
-        b = a
-        out = fo._round(curve, cwin, s, ("squeeze", 1), None,
-                        state, a, b, g, u)
+        out = fo._round_msms(curve, cwin, s, None, a, g)
+    elif kind == "rfold":
+        L = int(arg)
+        a, g = dummy(L)
+        m2 = wst.projective_zero(curve, (2,))
+        out = fo._round_fold(curve, ("squeeze", 1), state, a, a, g, u, m2)
     elif kind == "tail":
         n = int(arg)
         _, tail = fo.round_plan(n)
@@ -105,9 +109,17 @@ def main():
 
     n = 1 << args.log_n
     big, tail = fo.round_plan(n)
+    # rounds sharing a pivot share one graph set — dedup on (Lp, c, s);
+    # ordered so an interrupted prewarm leaves a USABLE prefix: prologue,
+    # the largest pivot's graphs, the tail (any open needs it), then the
+    # smaller pivots (each one warm lets ACCUM_TPU_FUSED_PIVOTS drop it in)
+    sets = list(dict.fromkeys((Lp, c, s) for (_L, Lp, c, s) in big))
     specs = [f"prologue:{n}"]
-    specs += [f"round:{L},{c},{s}" for (L, c, s) in big]
-    if tail:
+    for i, (Lp, c, s) in enumerate(sets):
+        specs += [f"rmsm:{Lp},{c},{s}", f"rfold:{Lp}"]
+        if i == 0 and tail:
+            specs.append(f"tail:{n}")
+    if not sets and tail:
         specs.append(f"tail:{n}")
     print(f"[prewarm] {len(specs)} graphs for n=2^{args.log_n}, "
           f"{args.jobs} parallel jobs", flush=True)

@@ -2,28 +2,30 @@
 
 Only one physical TPU is reachable in this environment, so true 1->D
 scaling cannot be timed directly.  What CAN be measured exactly on one
-chip is each term of the D-chip execution model of
-`parallel/multihost.msm_sharded_2d`:
+chip is each term of the D-chip execution model of the sharded prover
+(jit/ipa_open_fused._msm_static_pair_sharded / parallel/sharded.py):
 
-  T_D(n) = T_chip(n/D, s_grid)  +  T_combine(D)
+  T_D(n) = T_chip(n/D, s(n/D))  +  T_combine(D)
 
-  * T_chip(n/D, s_grid): the per-chip bucket phase at the shard size,
-    swept to the GRID-maxed slot bound (the same `pmax`ed bound every
-    chip compiles) — timed here by running the product bucket phase on
-    the real chip at n/D points with the bound extracted from the full
-    n-point scalar set;
-  * T_combine(D): an all_gather of D partial points + a log2(D) tree of
-    batched group adds — a fixed-shape kernel also timed on-chip (the
-    ICI/DCN wire time for D*3*64 B is below relay timing resolution and
-    is bounded above by the measured relay floor, included in the
-    reported overhead term).
+  * T_chip(n/D, s): the per-chip digits + static-bound bucket sweep at the
+    shard size — timed here by dispatching the EXACT graphs the sharded
+    fused prover runs per shard (`_signed_digits_and_ranks` +
+    `jit.ipa_open_fused._half_sweep` with the per-shard Poisson slot bound
+    `_slot_bound(n/D, c)` — the same bound `round_plan` gives a mesh);
+  * T_combine(D): a log2(D) tree of batched group adds over the gathered
+    partials — a fixed-shape kernel also timed on-chip (the ICI/DCN wire
+    time for D*3*64 B is below relay timing resolution and is bounded
+    above by the measured relay floor, included as `relay_floor_s`).
 
   efficiency(D) = T_1(n) / (D * T_D(n))
 
 Writes one JSON line (SCALING_r*.json contract) with T_1, per-shard and
-combine terms, and modeled efficiency for D = 2, 4, 8.
+combine terms, and modeled efficiency.  D values are chosen so the shard
+sizes coincide with graphs the fused-open prewarm already compiled
+(halves of the power-of-4 pivots: n/D in {2^19, 2^17, 2^15} at n=2^20 ->
+D in {2, 8, 32}); pass explicit D values as argv[3..] to override.
 
-Usage: python scripts/scaling_efficiency.py [N_LOG=20] [C=8]
+Usage: python scripts/scaling_efficiency.py [N_LOG=20] [C=8] [D ...]
 """
 
 import json
@@ -33,6 +35,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("ACCUM_TPU_UNROLL_CARRIES", "1")
+os.environ.setdefault("ACCUM_TPU_MSM_ENGINE", "u32")
 
 import numpy as np
 
@@ -63,11 +66,13 @@ def main():
     import accumulation_tpu  # noqa: F401
     from accumulation_tpu.curves import PALLAS, weierstrass as wst
     from accumulation_tpu.fields import fp
+    from accumulation_tpu.jit import ipa_open_fused as fo
     from accumulation_tpu.ops import msm as msm_mod
     from accumulation_tpu.pc.pedersen import _sample_points
 
     n_log = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    ds = [int(x) for x in sys.argv[3:]] or [2, 8, 32]
     n = 1 << n_log
     curve = PALLAS
     rng = np.random.default_rng(3)
@@ -75,56 +80,44 @@ def main():
     pts = _sample_points(curve, n, b"scaling|" + str(n).encode())
     scalars = fp.random_elements(curve.fr, rng, (n,))
 
+    # relay floor: the smallest readback's round-trip (bounds any wire term)
+    tiny = jnp.zeros((4,), jnp.uint32)
+    relay_floor = time_graph(lambda: tiny + 1, reps=5)
+
     # T_1: the shipped single-chip product path
     t1 = time_graph(lambda: msm_mod.msm(curve, pts, scalars, c=c))
     print(f"[scaling] T_1(n=2^{n_log}) = {t1*1e3:.0f} ms", file=sys.stderr)
 
-    # grid-maxed slot layout from the FULL scalar set (what pmax yields)
-    mag, signs, ranks, overflow, wmaxes = msm_mod._signed_digits_and_ranks(
-        curve, scalars, c)
-    wm = np.asarray(wmaxes)
-
     out = {"metric": "msm_scaling_efficiency_model", "n": n, "c": c,
-           "t1_s": round(t1, 4)}
-    for d in (2, 4, 8):
+           "t1_s": round(t1, 4), "relay_floor_s": round(relay_floor, 4)}
+    for d in ds:
         n_loc = n // d
         pts_l = wst.Affine(pts.x[:n_loc], pts.y[:n_loc], pts.inf[:n_loc])
         sc_l = scalars[:n_loc]
-        # per-shard digits but the GRID bound: ceil-scale the full-set
-        # per-window maxes down by d (uniform k+r digits concentrate the
-        # shard max near mean/d; use the exact shard's own ranks, bound
-        # from the grid pmax model = full-set max scaled via plan on the
-        # shard's wmaxes maxed with wm/d upper estimate)
-        mg, sg, rk, of, wml = msm_mod._signed_digits_and_ranks(
-            curve, sc_l, c)
-        wm_grid = np.maximum(np.asarray(wml), (wm + d - 1) // d)
-        mg, sg, rk, s, dbl_counts = msm_mod._plan_split(
-            mg, sg, rk, wm_grid, c, n_loc)
-        perm = jnp.broadcast_to(jnp.arange(n_loc, dtype=jnp.int32), mg.shape)
-        if msm_mod._use_lane_engine():
-            from accumulation_tpu.ops import msm_lanes
-            fn = lambda: msm_lanes.bucket_phase_lanes(
-                curve, pts_l, mg, (perm, rk), c, s, signs=sg, signed=True,
-                overflow=of, dbl_counts=dbl_counts)
-        else:
-            fn = lambda: msm_mod._bucket_phase(
-                curve, pts_l, mg, (perm, rk), c, s, signs=sg, signed=True,
-                overflow=of, dbl_counts=dbl_counts)
-        t_shard = time_graph(fn)
+        cl = msm_mod._pick_c(n_loc)
+        s = fo._slot_bound(n_loc, cl)
+
+        def shard():
+            mag, signs, ranks, of, wm = msm_mod._signed_digits_and_ranks(
+                curve, sc_l, cl)
+            return fo._half_sweep(curve, cl, s, pts_l, mag, signs, ranks,
+                                  of, wm)
+
+        t_shard = time_graph(shard)
 
         # combine: tree-add of d gathered partials (batched group adds)
-        parts = wst.projective_zero(curve, (d,))
         ones = jnp.asarray(curve.fq.one_mont, fp.DTYPE)
-        parts = type(parts)(
-            jnp.broadcast_to(pts.x[:d], parts.x.shape),
-            jnp.broadcast_to(pts.y[:d], parts.y.shape),
-            jnp.broadcast_to(ones, parts.z.shape))
+        parts = wst.Projective(
+            jnp.broadcast_to(pts.x[:d], (d,) + pts.x.shape[1:]),
+            jnp.broadcast_to(pts.y[:d], (d,) + pts.y.shape[1:]),
+            jnp.broadcast_to(ones, (d,) + pts.x.shape[1:]))
         t_comb = time_graph(lambda: wst._tree_reduce(curve, parts))
 
-        td = t_shard + t_comb
+        td = t_shard + t_comb + relay_floor
         eff = t1 / (d * td)
-        print(f"[scaling] D={d}: shard {t_shard*1e3:.0f} ms + combine "
-              f"{t_comb*1e3:.0f} ms -> eff {eff:.2%}", file=sys.stderr)
+        print(f"[scaling] D={d}: shard {t_shard*1e3:.0f} ms (c={cl}, s={s})"
+              f" + combine {t_comb*1e3:.0f} ms -> eff {eff:.2%}",
+              file=sys.stderr)
         out[f"d{d}_shard_s"] = round(t_shard, 4)
         out[f"d{d}_combine_s"] = round(t_comb, 4)
         out[f"d{d}_efficiency"] = round(eff, 4)

@@ -66,12 +66,14 @@ def test_fused_open_sharded_rounds(mesh2d, rng):
 
     # the plan really does shard the first round under this mesh
     big, _tail = fo.round_plan(256, mesh2d)
-    assert fo._mesh_shardable(mesh2d, big[0][0] // 2)
+    assert fo._mesh_shardable(mesh2d, big[0][1] // 2)  # pivot size Lp
 
     proof_single = fo.open_fused(C, ck, coeffs, comm, point)
     with context.use_mesh(mesh2d):
         proof_mesh = fo.open_fused(C, ck, coeffs, comm, point)
-    for a, b in zip(jax.tree_util.tree_leaves(proof_single),
-                    jax.tree_util.tree_leaves(proof_mesh)):
-        assert (np.asarray(a) == np.asarray(b)).all()
+    # Proof is a plain dataclass (NOT a pytree — tree_leaves returns the
+    # object itself); byte-compare the canonical serialization instead
+    from accumulation_tpu.utils import serialize
+    assert serialize.serialize_ipa_proof(C, proof_single) == \
+        serialize.serialize_ipa_proof(C, proof_mesh)
     assert ipa_pc.check(C, ck, comm, point, value, proof_mesh)

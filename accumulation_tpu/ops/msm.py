@@ -48,12 +48,19 @@ SPLIT_MIN_N = 1024  # below this the sweep is not the bound; keep one layout
 # Fat scan steps amortise per-step launch latency on TPU; on the XLA:CPU
 # test backend the unrolled bodies inflate compile time (and very large
 # graphs have segfaulted the CPU compiler late in long sessions), so the
-# unroll factors are platform-aware.
+# unroll factors are platform-aware.  Env overrides exist because the
+# remote TPU compile helper's memory budget varies by deployment: the
+# 2^16 sweep graph at chunk 16 compiled fine on 2026-08-19 but OOM-killed
+# the helper on 2026-08-20 ("chipless" AOT mode) — a smaller chunk
+# shrinks the traced sweep body proportionally at modest runtime cost.
 import os as _os
 _ON_CPU = "cpu" in _os.environ.get("JAX_PLATFORMS", "")
-SWEEP_CHUNK = 2 if _ON_CPU else 16
-AGG_UNROLL_N = 1 if _ON_CPU else 8
-DBL_UNROLL_N = 1 if _ON_CPU else 8
+SWEEP_CHUNK = int(_os.environ.get(
+    "ACCUM_TPU_SWEEP_CHUNK", "2" if _ON_CPU else "16"))
+AGG_UNROLL_N = int(_os.environ.get(
+    "ACCUM_TPU_AGG_UNROLL", "1" if _ON_CPU else "8"))
+DBL_UNROLL_N = int(_os.environ.get(
+    "ACCUM_TPU_DBL_UNROLL", "1" if _ON_CPU else "8"))
 
 
 def _pick_c(n: int) -> int:
@@ -69,9 +76,16 @@ def _pick_c(n: int) -> int:
 # so "auto" stays on u32 until the Pallas sweep kernel (VMEM-resident
 # convolutions) carries it.
 # engine selection: "auto"/"u32" = the point-major u32 engine (default —
-# compiles in minutes everywhere), "lanes" = lane-major limb-leading
-# layout (faster once compiled, compile-hostile cold — see
-# _use_lane_engine), "fp8" = the experimental f32 engine (+ opt-in Pallas)
+# compiles in minutes everywhere), "fp8" = the experimental f32 engine
+# (+ opt-in Pallas).  The round-1/2 lane-major (limb-leading) engine was
+# RETIRED to experiments/msm_lanes.py: it measured 1.7x the point-major
+# layout once compiled (cross-checked vs python-int ground truth,
+# experiments/check_lanes.py), but its big unrolled graphs never became
+# cold-compile-feasible (XLA:CPU ~25 min for one n=256 graph set; a cold
+# remote TPU compile of the 2^16 split-sweep graph ran >40 min without
+# completing).  Its layout insight — limb-major tensors keep the VPU
+# lanes full — is the design basis for the planned Pallas sweep kernel
+# (ops/msm_pallas.py status block).
 _MSM_ENGINE = _os.environ.get("ACCUM_TPU_MSM_ENGINE", "auto")
 
 
@@ -79,18 +93,6 @@ def _use_fp8_engine() -> bool:
     if _MSM_ENGINE == "fp8":
         return True
     return False
-
-
-def _use_lane_engine() -> bool:
-    # lane-major (limb-leading) measured 1.7x the point-major layout on
-    # TPU in round 1 (pre-split bench variant), cross-checked against
-    # python-int ground truth on both backends (scripts/check_lanes.py).
-    # It is NOT the default anywhere: its big unrolled graphs are
-    # compile-hostile on a cold cache (XLA:CPU ~25 min for one n=256
-    # graph set; a cold remote TPU compile of the 2^16 split-sweep graph
-    # ran >40 min without completing).  Opt in per-process with
-    # ACCUM_TPU_MSM_ENGINE=lanes once a warm compilation cache exists.
-    return _MSM_ENGINE == "lanes"
 
 
 def _quantize_slots(s: int, n: int) -> int:
@@ -453,12 +455,17 @@ def _plan_split(mag, signs, ranks, wm, c: int, n: int):
     return mag, signs, ranks, s_bulk, dbl_counts
 
 
-def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Projective:
+def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None,
+        unrolls=None) -> Projective:
     """MSM: sum_i scalars[i] * points[i] -> Projective point.
 
     points: (N,) Affine, scalars_mont: (N, NLIMBS) Montgomery Fr.
     Small N uses the bit-serial kernel (one jit, no host sync); large N uses
     Pippenger with one host sync for the slot-matrix size.
+    unrolls: optional (sweep_chunk, agg_unroll, dbl_unroll) static override
+    forwarded to the bucket phase — a reduced-graph fallback when the
+    remote compile helper cannot fit the default sweep body (see the
+    SWEEP_CHUNK note above).
     """
     n = points.x.shape[0]
     if n == 0:
@@ -498,15 +505,9 @@ def msm(curve: CurveSpec, points: Affine, scalars_mont, c: int = None) -> Projec
     mag, signs, ranks, s, dbl_counts = _plan_split(
         mag, signs, ranks, wm, c, n)
     perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape)
-    if _use_lane_engine():
-        from . import msm_lanes
-        return msm_lanes.bucket_phase_lanes(
-            curve, points, mag, (perm, ranks), c, s,
-            signs=signs, signed=True, overflow=overflow,
-            dbl_counts=dbl_counts)
     return _bucket_phase(curve, points, mag, (perm, ranks), c, s,
-                         signs=signs, signed=True, overflow=overflow,
-                         dbl_counts=dbl_counts)
+                         unrolls=unrolls, signs=signs, signed=True,
+                         overflow=overflow, dbl_counts=dbl_counts)
 
 
 def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Projective:
@@ -558,13 +559,7 @@ def msm_batched(curve: CurveSpec, points: Affine, scalars_mont) -> Projective:
     mag, signs, ranks, s, dbl_counts = _plan_split(
         mag, signs, ranks, wm, c, n)
     perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape[1:])
-    if _use_lane_engine():
-        from . import msm_lanes
-        bucket = lambda mg, sg, ra, of: msm_lanes.bucket_phase_lanes(
-            curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
-            overflow=of, dbl_counts=dbl_counts)
-    else:
-        bucket = lambda mg, sg, ra, of: _bucket_phase(
-            curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
-            overflow=of, dbl_counts=dbl_counts)
+    bucket = lambda mg, sg, ra, of: _bucket_phase(
+        curve, points, mg, (perm, ra), c, s, signs=sg, signed=True,
+        overflow=of, dbl_counts=dbl_counts)
     return jax.vmap(bucket)(mag, signs, ranks, overflow)

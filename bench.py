@@ -24,7 +24,8 @@ Extra keys:
       (fields/fp8.py) — a speed-of-light FRACTION estimate, not a claim.
 
 Env knobs: BENCH_N (default 2^20), BENCH_REPS (3), BENCH_WINDOW_C (8),
-BENCH_SKIP_SCHEME=1, BENCH_SCHEME_LOG_DEGREE (default 20), BENCH_SKIP_2E16=1.
+BENCH_SKIP_SCHEME=1, BENCH_SCHEME_LOG_DEGREE (default 16 — see the
+cold-compile note at the call site), BENCH_SKIP_2E16=1.
 """
 
 import json
@@ -40,12 +41,9 @@ def _stage(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 os.environ.setdefault("ACCUM_TPU_UNROLL_CARRIES", "1")
-# Pin the point-major u32 engine for recorded numbers: the lane-major
-# engine's unrolled graphs are compile-hostile on a COLD cache (>40 min
-# remote compile observed at 2^16 — never completed), while u32 graphs
-# compile in minutes.  Same product path (signed k+r digits, host-synced
-# split slot bound); override with ACCUM_TPU_MSM_ENGINE=lanes once a warm
-# cache exists.
+# Pin the point-major u32 engine for recorded numbers (the product
+# default; the lane-major alternative was retired to experiments/ for
+# cold-compile hostility — see ops/msm.py engine notes).
 os.environ.setdefault("ACCUM_TPU_MSM_ENGINE", "u32")
 
 import numpy as np
@@ -73,6 +71,16 @@ def _sync(x):
     np.asarray(leaf)
 
 
+# Reduced-graph fallback for the bucket sweep: the remote compile
+# helper's memory budget varies by deployment — the default chunk-16
+# sweep graph OOM-killed it on 2026-08-20 ("chipless" AOT helper) after
+# compiling fine on 2026-08-19.  Once any MSM stage fails, later stages
+# go straight to the reduced config instead of re-paying the ~20-min
+# hang-then-SIGKILL.
+REDUCED_UNROLLS = (4, 2, 2)
+_degraded = {"flag": False}
+
+
 def bench_msm(curve, n, c, reps):
     import jax.numpy as jnp
     from accumulation_tpu.fields import fp
@@ -82,11 +90,24 @@ def bench_msm(curve, n, c, reps):
     rng = np.random.default_rng(0)
     pts = _sample_points(curve, n, b"bench|" + str(n).encode())
     scalars = fp.random_elements(curve.fr, rng, (n,))
-    out = msm_mod.msm(curve, pts, scalars, c=c)
-    _sync(out)  # compile + warm
+
+    unrolls = REDUCED_UNROLLS if _degraded["flag"] else None
+    try:
+        out = msm_mod.msm(curve, pts, scalars, c=c, unrolls=unrolls)
+        _sync(out)  # compile + warm
+    except Exception as e:
+        if unrolls is not None:
+            raise
+        _stage(f"msm n={n}: default sweep graph failed to compile "
+               f"({type(e).__name__}) — retrying with unrolls="
+               f"{REDUCED_UNROLLS}")
+        _degraded["flag"] = True
+        unrolls = REDUCED_UNROLLS
+        out = msm_mod.msm(curve, pts, scalars, c=c, unrolls=unrolls)
+        _sync(out)
     t0 = time.time()
     for _ in range(reps):
-        out = msm_mod.msm(curve, pts, scalars, c=c)
+        out = msm_mod.msm(curve, pts, scalars, c=c, unrolls=unrolls)
         _sync(out)
     dt = (time.time() - t0) / reps
     # recover the slot layout the product path used (cached host sync)
@@ -100,6 +121,13 @@ def bench_msm(curve, n, c, reps):
 
 def bench_scheme(curve, log_degree):
     """ipa_pc_as index/prove/verify/decide at degree 2^log_degree - 1."""
+    if _degraded["flag"]:
+        # shrink the fused open's sweep bodies the same way; its graphs
+        # have not been traced yet in this process, so mutating the
+        # module constants reaches every _bucket_phase trace it makes
+        from accumulation_tpu.ops import msm as msm_mod
+        (msm_mod.SWEEP_CHUNK, msm_mod.AGG_UNROLL_N,
+         msm_mod.DBL_UNROLL_N) = REDUCED_UNROLLS
     from accumulation_tpu.core.accumulation import MakeZK
     from accumulation_tpu.fields import fp
     from accumulation_tpu.ops import poly as poly_ops
@@ -206,27 +234,48 @@ def main():
 
     pps_16 = None
     if os.environ.get("BENCH_SKIP_2E16") != "1":
-        _stage("msm 2^16 ...")
-        pps_16, dt16, s16, _ = bench_msm(curve, 1 << 16, c, reps)
-        extra["msm_2e16_pps"] = round(pps_16, 1)
-        extra["msm_2e16_slot_bound"] = s16
-        _stage(f"msm 2^16: {pps_16:,.0f} pts/s (dt {dt16*1e3:.0f} ms, s={s16})")
+        try:
+            _stage("msm 2^16 ...")
+            pps_16, dt16, s16, _ = bench_msm(curve, 1 << 16, c, reps)
+            extra["msm_2e16_pps"] = round(pps_16, 1)
+            extra["msm_2e16_slot_bound"] = s16
+            _stage(f"msm 2^16: {pps_16:,.0f} pts/s "
+                   f"(dt {dt16*1e3:.0f} ms, s={s16})")
+        except Exception as e:  # record and keep going — never die JSON-less
+            extra["msm_2e16_error"] = f"{type(e).__name__}: {e}"[:200]
+            _stage(f"msm 2^16 FAILED: {extra['msm_2e16_error']}")
 
-    _stage(f"msm n={n} ...")
-    pps_n, dt_n, s_n, rows_n = bench_msm(curve, n, c, reps)
-    extra["msm_2e20_pps" if n == 1 << 20 else f"msm_n{n}_pps"] = \
-        round(pps_n, 1)
-    _stage(f"msm n={n}: {pps_n:,.0f} pts/s (dt {dt_n*1e3:.0f} ms, s={s_n})")
+    pps_n = None
+    try:
+        _stage(f"msm n={n} ...")
+        pps_n, dt_n, s_n, rows_n = bench_msm(curve, n, c, reps)
+        extra["msm_2e20_pps" if n == 1 << 20 else f"msm_n{n}_pps"] = \
+            round(pps_n, 1)
+        _stage(f"msm n={n}: {pps_n:,.0f} pts/s "
+               f"(dt {dt_n*1e3:.0f} ms, s={s_n})")
 
-    # roofline accounting for the big MSM (model: utils/profiling.py)
-    from accumulation_tpu.utils import profiling
-    rl = profiling.msm_roofline(n, c, s_n, rows_n, dt_n)
-    extra["msm_adds_per_s"] = round(rl.adds_per_s, 0)
-    extra["field_muls_per_s"] = round(rl.field_muls_per_s, 0)
-    extra["sol_fraction"] = round(rl.sol_fraction, 4)
+        # roofline accounting for the big MSM (model: utils/profiling.py)
+        from accumulation_tpu.utils import profiling
+        rl = profiling.msm_roofline(n, c, s_n, rows_n, dt_n)
+        extra["msm_adds_per_s"] = round(rl.adds_per_s, 0)
+        extra["field_muls_per_s"] = round(rl.field_muls_per_s, 0)
+        extra["sol_fraction"] = round(rl.sol_fraction, 4)
+    except Exception as e:
+        extra["msm_big_error"] = f"{type(e).__name__}: {e}"[:200]
+        _stage(f"msm n={n} FAILED: {extra['msm_big_error']}")
+    if _degraded["flag"]:
+        extra["degraded_unrolls"] = list(REDUCED_UNROLLS)
 
     if os.environ.get("BENCH_SKIP_SCHEME") != "1":
-        logd = int(os.environ.get("BENCH_SCHEME_LOG_DEGREE", "20"))
+        # Default the scheme stage to 2^16: the 2^20 fused-open graph set
+        # needs ~1 h of cold remote compiles and its largest round graph
+        # has crashed the remote TPU worker 3 of 4 attempts
+        # (experiments/r03/prewarm20_*.log) — on a cold cache the 2^20
+        # stage cannot complete inside the bench deadline.  2^16 runs the
+        # identical code path (fused open, split rounds, mesh-aware MSM)
+        # at a compile-feasible size; set BENCH_SCHEME_LOG_DEGREE=20 once
+        # a warm cache exists.
+        logd = int(os.environ.get("BENCH_SCHEME_LOG_DEGREE", "16"))
         try:
             _stage(f"ipa_pc_as at degree 2^{logd}-1 ...")
             ti, tp, tv, td = bench_scheme(curve, logd)
@@ -242,15 +291,16 @@ def main():
             extra["ipa_as_error"] = f"{type(e).__name__}: {e}"[:200]
 
     vs_baseline = (pps_16 / R01_MSM_2E16_PPS) if pps_16 else 0.0
+    headline = pps_n if pps_n is not None else (pps_16 or 0.0)
     out = {
         "metric": "msm_points_per_sec_2e20" if n == 1 << 20
         else f"msm_points_per_sec_n{n}",
-        "value": round(pps_n, 1),
+        "value": round(headline, 1),
         "unit": "points/s",
         "vs_baseline": round(vs_baseline, 3),
         "vs_baseline_note": "ratio vs round-1's DISAVOWED bench-only "
                             "lane-engine 2^16 number (38.6k pts/s)",
-        "vs_arkworks_cpu_est": round(pps_n / ARKWORKS_CPU_MSM_PPS_EST, 4),
+        "vs_arkworks_cpu_est": round(headline / ARKWORKS_CPU_MSM_PPS_EST, 4),
     }
     out.update(extra)
     print(json.dumps(out))

@@ -2,16 +2,22 @@
 
 Run with the engine under test selected via env, e.g.:
     env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= ACCUM_TPU_MSM_ENGINE=lanes \
-        python scripts/check_lanes.py 256
+        python experiments/check_lanes.py 256
 Only ONE engine compiles per process (ground truth is host bigint
 double-and-add), which avoids the XLA:CPU compile starvation that blocked
-the two-engine comparison runs (CLAUDE.md round-2 handoff)."""
+the two-engine comparison runs (CLAUDE.md round-2 handoff).
+
+The lane-major engine was retired from the product dispatch (see
+ops/msm.py) — selecting ACCUM_TPU_MSM_ENGINE=lanes here patches the
+retired experiments/msm_lanes.py engine into the bucket phase so the
+cross-check remains reproducible."""
 
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -47,6 +53,17 @@ def main():
     from accumulation_tpu.fields import fp
     from accumulation_tpu.ops import msm as msm_mod
     from accumulation_tpu.pc.pedersen import _sample_points
+
+    if os.environ.get("ACCUM_TPU_MSM_ENGINE") == "lanes":
+        import msm_lanes as _lanes
+
+        def _lane_bucket(curve, points, mag, pr, c, s, signs=None,
+                         signed=False, overflow=None, dbl_counts=None):
+            return _lanes.bucket_phase_lanes(
+                curve, points, mag, pr, c, s, signs=signs, signed=signed,
+                overflow=overflow, dbl_counts=dbl_counts)
+
+        msm_mod._bucket_phase = _lane_bucket
 
     C = PALLAS
     P = C.fq.modulus

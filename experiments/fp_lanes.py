@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fp import (FieldSpec, LIMB_BITS, LIMB_MASK, NLIMBS, DTYPE)
+from accumulation_tpu.fields.fp import (FieldSpec, LIMB_BITS, LIMB_MASK, NLIMBS, DTYPE)
 
 
 def to_lanes(a):

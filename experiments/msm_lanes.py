@@ -13,9 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..curves.weierstrass import Affine, CurveSpec
-from ..fields import fp, fp_lanes as fl
-from ..fields.fp import NLIMBS, DTYPE
+from accumulation_tpu.curves.weierstrass import Affine, CurveSpec
+from accumulation_tpu.fields import fp
+import fp_lanes as fl
+from accumulation_tpu.fields.fp import NLIMBS, DTYPE
 
 import os as _os
 _ON_CPU = "cpu" in _os.environ.get("JAX_PLATFORMS", "")

@@ -34,9 +34,10 @@ def main():
 
     import accumulation_tpu  # noqa: F401
     from accumulation_tpu.curves import PALLAS
-    from accumulation_tpu.fields import fp, fp_lanes as fl
+    from accumulation_tpu.fields import fp
+import fp_lanes as fl
     from accumulation_tpu.ops import msm as msm_mod
-    from accumulation_tpu.ops import msm_lanes
+    import msm_lanes
     from accumulation_tpu.pc.pedersen import _sample_points
 
     n_log = int(sys.argv[1]) if len(sys.argv) > 1 else 16
@@ -78,7 +79,8 @@ def main():
 def _run_mul_part(curve, rng, timed, log):
     import jax
     import jax.numpy as jnp
-    from accumulation_tpu.fields import fp, fp_lanes as fl
+    from accumulation_tpu.fields import fp
+import fp_lanes as fl
     if True:
         # relay floor: trivial op + readback
         x0 = jnp.arange(8, dtype=jnp.uint32)
@@ -133,7 +135,7 @@ def _run_msm_part(curve, rng, timed, log, n, c, n_log):
     import jax.numpy as jnp
     from accumulation_tpu.fields import fp
     from accumulation_tpu.ops import msm as msm_mod
-    from accumulation_tpu.ops import msm_lanes
+    import msm_lanes
     from accumulation_tpu.pc.pedersen import _sample_points
     with jax.default_device(jax.devices()[0]):
         # MSM phases

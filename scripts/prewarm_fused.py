@@ -105,6 +105,14 @@ def main():
         _compile_one(args.one)
         return
 
+    sentinel = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments", "r03", "SKIP_PREWARM")
+    if os.path.exists(sentinel):
+        # a queued prewarm must not overlap the driver's end-of-round
+        # bench (two TPU processes wedge the relay — CLAUDE.md)
+        print("[prewarm] skipped: sentinel present", flush=True)
+        return
+
     from accumulation_tpu.jit import ipa_open_fused as fo
 
     n = 1 << args.log_n

@@ -90,6 +90,16 @@ def main():
 
     out = {"metric": "msm_scaling_efficiency_model", "n": n, "c": c,
            "t1_s": round(t1, 4), "relay_floor_s": round(relay_floor, 4)}
+    # a kill mid-compile (cold shard graphs are minutes each) must not
+    # lose completed D terms: checkpoint the JSON line after every D
+    ckpt = os.environ.get("SCALING_CKPT")
+
+    def _checkpoint():
+        if ckpt:
+            with open(ckpt, "w") as f:
+                f.write(json.dumps(out) + "\n")
+
+    _checkpoint()
     for d in ds:
         n_loc = n // d
         pts_l = wst.Affine(pts.x[:n_loc], pts.y[:n_loc], pts.inf[:n_loc])
@@ -121,6 +131,7 @@ def main():
         out[f"d{d}_shard_s"] = round(t_shard, 4)
         out[f"d{d}_combine_s"] = round(t_comb, 4)
         out[f"d{d}_efficiency"] = round(eff, 4)
+        _checkpoint()
 
     print(json.dumps(out))
 

@@ -315,11 +315,85 @@ def mul(spec: FieldSpec, a, b):
     out < ~1.01p + eps, limbs <= 256.  No sequential carries.
 
     When the override context provides "mxu_mats" (Pallas kernels / TPU),
-    the convolutions run as exact bf16 matmuls on the MXU."""
+    the convolutions run as exact bf16 matmuls on the MXU; "hybrid_mats"
+    selects the roll-conv VPU body for the data*data convolution with the
+    two constant REDC convolutions on the MXU (ops/msm_pallas.py)."""
+    hy = _OVERRIDE.get("hybrid_mats")
+    if hy is not None:
+        return _mul_hybrid(spec, a, b, hy)
     mx = _OVERRIDE.get("mxu_mats")
     if mx is not None:
         return _mul_mxu(spec, a, b, mx)
     return _mul_vpu(spec, a, b)
+
+
+# ---------------------------------------------------------------------------
+# hybrid Pallas mul path: VPU roll-conv for a*b, MXU for the constant convs
+# ---------------------------------------------------------------------------
+#
+# The MXU SEL formulation above computes T = a (*) b as a (2n, n^2) matmul —
+# 78x the useful multiply work at n = 39 (measured structurally capped,
+# see ops/msm_pallas.py).  But ONLY the data*data convolution needs SEL; the
+# other two REDC convolutions contract against CONSTANT Toeplitz matrices
+# (Tq: n^2 MACs, Tp: 2n^2 — no amplification at all).  This path computes T
+# with exactly the useful n^2 f32 FMAs on the VPU via a roll-accumulate
+# loop, and keeps q / q*p on the MXU — the two units run concurrently.
+#
+# Roll-conv correctness: maintain U_i = rollup(T_i, i) (cyclic row shift of
+# the partial conv by i) over a (2n, ...) buffer.  Then
+#   U_i = roll(U_{i-1}, -1) + [a_i * b ; 0]
+# adds term i at rows 0..n-1 (= T rows i..i+n-1), and T = roll(U_{n-1}, n-1).
+# T's support is 2n-1 rows in a 2n buffer, so the cyclic roll never aliases.
+# Exactness: products <= 260^2 < 2^17, column sums <= n terms -> < 2^23,
+# all integers — exact in f32 (same bound as _skew_sum).
+#
+# pltpu.roll is a Mosaic sublane rotate — only available inside Pallas
+# kernel traces (and the interpreter), which is the only place this path is
+# dispatched from.
+
+
+def _conv_roll(a, b):
+    """Exact full conv columns via roll-accumulate: (n, ...) x (n, ...) ->
+    (2n, ...).  Pallas-kernel-only (uses pltpu.roll)."""
+    from jax.experimental.pallas import tpu as pltpu
+    n = a.shape[0]
+    rest = a.shape[1:]
+    zpad = jnp.zeros((n,) + rest, F32)
+
+    def body(_, carry):
+        a_rot, u = carry
+        term = a_rot[0:1] * b
+        # roll by -1 (shift rows up); pltpu.roll wants non-negative shifts,
+        # and -1 == size-1 (mod size)
+        u = pltpu.roll(u, 2 * n - 1, 0) + jnp.concatenate([term, zpad],
+                                                          axis=0)
+        return (pltpu.roll(a_rot, n - 1, 0), u)
+
+    _, u = jax.lax.fori_loop(
+        0, n, body, (a, jnp.zeros((2 * n,) + rest, F32)))
+    return pltpu.roll(u, n - 1, 0)
+
+
+def _mul_hybrid(spec: FieldSpec, a, b, mats):
+    """Same contract as `mul`; T on the VPU, q / q*p on the MXU."""
+    tq, tp = mats
+    nl8 = consts8(spec)["nl8"]
+    T = _conv_roll(a, b)                      # (2n, ...), exact integers
+
+    t_low = _norm3(T[:nl8])                   # <= 256, mod R8
+    q = _norm3(_bf16_dot(tq, t_low))          # <= 256, mod R8
+    qp = _bf16_dot(tp, q)
+
+    u = T[:nl8] + qp[:nl8]
+    c_low = jnp.floor(
+        u[nl8 - 1] * INV256
+        + u[nl8 - 2] * (INV256 ** 2)
+        + u[nl8 - 3] * (INV256 ** 3)
+        + 0.5)
+    hi_cols = T[nl8:] + qp[nl8:]
+    hi_cols = jnp.concatenate([(hi_cols[0] + c_low)[None], hi_cols[1:]],
+                              axis=0)
+    return _norm3(hi_cols)
 
 
 def _mul_vpu(spec: FieldSpec, a, b):

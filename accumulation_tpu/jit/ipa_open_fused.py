@@ -88,11 +88,6 @@ def _msm_static(curve: CurveSpec, pts: Affine, scalars, c: int, s: int):
         from ..ops import msm8
         out = msm8.bucket_phase8(curve, pts, mag, (perm, ranks), c, s,
                                  signs=signs, signed=True, overflow=overflow)
-    elif msm_mod._use_lane_engine():
-        from ..ops import msm_lanes
-        out = msm_lanes.bucket_phase_lanes(
-            curve, pts, mag, (perm, ranks), c, s,
-            signs=signs, signed=True, overflow=overflow)
     else:
         out = msm_mod._bucket_phase(curve, pts, mag, (perm, ranks), c, s,
                                     signs=signs, signed=True,
@@ -132,7 +127,7 @@ def _msm_static_pair(curve: CurveSpec, pts2: Affine, scalars2, c: int,
                 curve, Affine(px, py, pinf), sc))(
             pts2.x, pts2.y, pts2.inf, scalars2)
         return out, jnp.zeros((2,), bool)
-    if msm_mod._use_fp8_engine() or msm_mod._use_lane_engine():
+    if msm_mod._use_fp8_engine():
         o0, f0 = _msm_static(curve, lo, scalars2[0], c, s)
         o1, f1 = _msm_static(curve, hi, scalars2[1], c, s)
         return (Projective(jnp.stack([o0.x, o1.x]), jnp.stack([o0.y, o1.y]),
@@ -375,7 +370,7 @@ def _round_msms(curve: CurveSpec, cwin: int, s: int, mesh, a, g: Affine):
         sc2 = jnp.stack([a[half:], a[:half]])
         return _msm_static_pair_sharded(curve, mesh, pts2, sc2, cwin, s)
     if half <= msm_mod.SMALL_N_THRESHOLD \
-            or msm_mod._use_fp8_engine() or msm_mod._use_lane_engine():
+            or msm_mod._use_fp8_engine():
         pts2 = Affine(jnp.stack([g_lo.x, g_hi.x]), jnp.stack([g_lo.y, g_hi.y]),
                       jnp.stack([g_lo.inf, g_hi.inf]))
         sc2 = jnp.stack([a[half:], a[:half]])

@@ -86,6 +86,11 @@ def _sweep_call(curve: CurveSpec, nl8: int, lanes: int, chunk: int):
         }
         if _MUL_BODY == "mxu":
             ov["mxu_mats"] = (sel[:], tq[:], tp[:])
+        elif _MUL_BODY == "vpu":
+            # hybrid body: data*data conv as a VPU roll-accumulate (only
+            # the useful n^2 FMAs), constant REDC convs as exact bf16
+            # matmuls on the MXU (fp8._mul_hybrid)
+            ov["hybrid_mats"] = (tq[:], tp[:])
         with fp8.override_consts(ov):
             acc = msm8.P8(bx[:], by[:], bz[:])
 

@@ -169,15 +169,9 @@ def msm_sharded_2d(curve: CurveSpec, mesh: Mesh, points: Affine,
     def bucket_fn(px, py, pinf, mg, sg, rk, of):
         perm = jnp.broadcast_to(
             jnp.arange(n_loc, dtype=jnp.int32), mg.shape)
-        if msm_mod._use_lane_engine():
-            from ..ops import msm_lanes
-            local = msm_lanes.bucket_phase_lanes(
-                curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
-                signs=sg, signed=True, overflow=of, dbl_counts=dbl_counts)
-        else:
-            local = msm_mod._bucket_phase(
-                curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
-                signs=sg, signed=True, overflow=of, dbl_counts=dbl_counts)
+        local = msm_mod._bucket_phase(
+            curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
+            signs=sg, signed=True, overflow=of, dbl_counts=dbl_counts)
         total = _hier_reduce(curve, local)
         return total.x, total.y, total.z
 

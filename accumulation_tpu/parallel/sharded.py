@@ -108,15 +108,9 @@ def msm_sharded(curve: CurveSpec, mesh: Mesh, points: Affine, scalars_mont,
     def bucket_fn(px, py, pinf, mg, sg, rk, of):
         perm = jnp.broadcast_to(
             jnp.arange(n_loc, dtype=jnp.int32), mg.shape)
-        if msm_mod._use_lane_engine():
-            from ..ops import msm_lanes
-            local = msm_lanes.bucket_phase_lanes(
-                curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
-                signs=sg, signed=True, overflow=of, dbl_counts=dbl_counts)
-        else:
-            local = msm_mod._bucket_phase(
-                curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
-                signs=sg, signed=True, overflow=of, dbl_counts=dbl_counts)
+        local = msm_mod._bucket_phase(
+            curve, Affine(px, py, pinf), mg, (perm, rk), c, s,
+            signs=sg, signed=True, overflow=of, dbl_counts=dbl_counts)
         gx = jax.lax.all_gather(local.x, AXIS)
         gy = jax.lax.all_gather(local.y, AXIS)
         gz = jax.lax.all_gather(local.z, AXIS)

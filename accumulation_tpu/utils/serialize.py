@@ -7,8 +7,14 @@ accumulator).  This module provides the same capability with an
 arkworks-style codec:
 
   * field element: 32 bytes, little-endian canonical value;
-  * affine point (compressed): 32 bytes of x with two flag bits in the top
-    byte — bit 7: y is the lexicographically larger root; bit 6: infinity;
+  * affine point (compressed): exact ark-serialize 0.4 layout — x as LE
+    bytes with two flag bits (bit 7: y is the lexicographically larger
+    root; bit 6: infinity) in the final byte of a record sized to hold
+    255-bit x + 2 flag bits.  For Pallas that is a 33-byte record with a
+    DEDICATED flag byte (the flags do not fit in x's top byte); for
+    BLS12-381 Fq (381-bit) a 48-byte record where flags share x's final
+    byte.  Layout pinned by hand-derived KATs in tests/test_ark_kat.py and
+    docs/PARITY.md #5;
   * usize/length: 8 bytes LE;  Option<T>: 1-byte tag + payload;
   * Vec<T>: 8-byte LE length prefix + items.
 

@@ -1,0 +1,109 @@
+"""Measure the Pallas sweep bodies against the u32 XLA sweep on the TPU.
+
+The round-3 verdict's kernel task: the hybrid VPU body (fp8._mul_hybrid —
+roll-accumulate data conv on the VPU + constant REDC convs on the MXU)
+must beat the shipped u32 XLA sweep by >=3x at 2^16/c=8, or produce the
+profile that kills it.  This times, at the SAME slot layout:
+
+  * u32 XLA sweep      (ops/msm._bucket_phase, stage="sweep") — shipped
+  * fp8 XLA sweep      (ops/msm8._bucket_phase8_xla, stage="sweep")
+  * Pallas sweep       (ops/msm_pallas.sweep_pallas) with the body chosen
+    by ACCUM_TPU_PALLAS_MUL (vpu | mxu) and CHUNK/LANE_BLK env knobs
+
+Progress appends to the log file given as argv[2] (default stderr only).
+Usage: env ACCUM_TPU_PALLAS_MUL=vpu python experiments/bench_pallas_vpu.py
+           [N_LOG=16] [C=8]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("ACCUM_TPU_UNROLL_CARRIES", "1")
+os.environ.setdefault("ACCUM_TPU_MSM_ENGINE", "u32")
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[pallas-vpu] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    import accumulation_tpu  # noqa: F401
+    from accumulation_tpu.curves import PALLAS
+    from accumulation_tpu.fields import fp
+    from accumulation_tpu.ops import msm as msm_mod, msm8, msm_pallas
+    from accumulation_tpu.pc.pedersen import _sample_points
+
+    n_log = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = 1 << n_log
+    curve = PALLAS
+    rng = np.random.default_rng(0)
+
+    def sync(x):
+        np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+    def timeit(label, fn, reps=3):
+        out = fn()
+        sync(out)
+        t0 = time.time()
+        for _ in range(reps):
+            sync(fn())
+        dt = (time.time() - t0) / reps
+        log(f"{label}: {dt*1e3:.0f} ms")
+        return dt
+
+    pts = _sample_points(curve, n, b"pallas-vpu|" + str(n).encode())
+    scalars = fp.random_elements(curve.fr, rng, (n,))
+    mag, signs, ranks, overflow, wmaxes = msm_mod._signed_digits_and_ranks(
+        curve, scalars, c)
+    s = msm_mod._quantize_slots(int(jnp.max(wmaxes)), n)
+    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mag.shape)
+    log(f"n=2^{n_log} c={c} s={s} body={msm_pallas._MUL_BODY} "
+        f"chunk={msm_pallas.CHUNK} lane_blk={msm_pallas.LANE_BLK}")
+
+    # u32 XLA sweep (shipped product sweep at this layout)
+    t_u32 = timeit("u32 XLA sweep", lambda: msm_mod._bucket_phase(
+        curve, pts, mag, (perm, ranks), c, s, stage="sweep",
+        signs=signs, signed=True))
+
+    # Pallas sweep, stage-isolated: prepare (untimed) then the kernel
+    slots_t, px, py, pinf = msm8._prepare8(
+        curve, pts, mag, (perm, ranks), c, s, signs=signs, signed=True)
+    sync((slots_t, px, py, pinf))
+    t_pal = timeit("pallas sweep", lambda: msm_pallas.sweep_pallas(
+        curve, px, py, pinf, slots_t, s, n, msm_pallas.CHUNK))
+
+    log(f"RESULT u32={t_u32:.3f}s pallas({msm_pallas._MUL_BODY})="
+        f"{t_pal:.3f}s ratio={t_u32/t_pal:.2f}x (need >=3x)")
+
+    # correctness spot-check at the full-msm level: route the fp8 path
+    # through the pallas sweep and compare against the u32 product path
+    if os.environ.get("PALLAS_VPU_CHECK", "1") == "1":
+        from accumulation_tpu.curves import weierstrass as wst
+        msm8._PALLAS_SWEEP = True
+        got = wst.to_affine(curve, msm8.bucket_phase8(
+            curve, pts, mag, (perm, ranks), c, s,
+            signs=signs, signed=True, overflow=overflow))
+        want = wst.to_affine(curve, msm_mod._bucket_phase(
+            curve, pts, mag, (perm, ranks), c, s,
+            signs=signs, signed=True, overflow=overflow))
+        ok = bool(np.asarray(wst.affine_eq(got, want)))
+        log(f"on-device correctness vs u32: {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,14 +99,18 @@ def main():
     ap.add_argument("--log-n", type=int, default=20)
     ap.add_argument("--jobs", type=int, default=6)
     ap.add_argument("--one", help="compile a single graph spec (child mode)")
+    ap.add_argument("--retries", type=int, default=2,
+                    help="re-queue a failed graph up to N times (the remote "
+                         "TPU worker crashes stochastically on the biggest "
+                         "round graphs — r03 prewarm logs)")
     args = ap.parse_args()
 
     if args.one:
         _compile_one(args.one)
         return
 
-    sentinel = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "experiments", "r03", "SKIP_PREWARM")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sentinel = os.path.join(root, "experiments", "SKIP_PREWARM")
     if os.path.exists(sentinel):
         # a queued prewarm must not overlap the driver's end-of-round
         # bench (two TPU processes wedge the relay — CLAUDE.md)
@@ -135,10 +139,12 @@ def main():
     t0 = time.time()
     pending = list(specs)
     running = {}
+    attempts = {spec: 0 for spec in specs}
     failed = []
     while pending or running:
         while pending and len(running) < args.jobs:
             spec = pending.pop(0)
+            attempts[spec] += 1
             p = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--one", spec])
             running[p.pid] = (p, spec)
@@ -146,9 +152,17 @@ def main():
         for pid in done:
             p, spec = running.pop(pid)
             if p.returncode != 0:
-                failed.append(spec)
-                print(f"[prewarm] FAILED: {spec} (rc={p.returncode})",
-                      flush=True)
+                if attempts[spec] <= args.retries:
+                    print(f"[prewarm] retrying {spec} (rc={p.returncode}, "
+                          f"attempt {attempts[spec]}/{args.retries + 1})",
+                          flush=True)
+                    pending.append(spec)  # back of the queue: let the
+                    # remote worker recover before re-submitting
+                else:
+                    failed.append(spec)
+                    print(f"[prewarm] FAILED: {spec} (rc={p.returncode}, "
+                          f"gave up after {attempts[spec]} attempts)",
+                          flush=True)
         time.sleep(2)
     print(f"[prewarm] done in {time.time() - t0:.0f}s; "
           f"{len(failed)} failures: {failed}", flush=True)

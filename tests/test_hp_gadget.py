@@ -94,14 +94,14 @@ def test_generic_verifier_registry(setup, rng):
 
 # the reference gadget harness runs ALL six shapes (src/constraints.rs:62-374);
 # [1] and [1,1] are covered above — these close the multi-input, accumulators-
-# only, and zero-input synthesis gaps
+# only, zero-input, and [1,1,2,3] chain (old-accumulator + proof reuse) gaps
 import harness
 
 
 @pytest.mark.parametrize(
     "shape", [harness.MULTIPLE_INPUTS_INIT, harness.ACCUMULATORS_ONLY,
-              harness.NO_INPUTS_INIT],
-    ids=["multi3", "accs_only", "zero_inputs"])
+              harness.NO_INPUTS_INIT, harness.MULTIPLE_INPUTS_ACCUMULATION],
+    ids=["multi3", "accs_only", "zero_inputs", "multi_acc_1123"])
 def test_gadget_shapes(setup, rng, shape):
     curve, scheme, keys = setup
     gen = make_input_gen(curve, keys[0], rng, False)

@@ -66,8 +66,8 @@ import harness
 
 @pytest.mark.parametrize(
     "shape", [harness.MULTIPLE_INPUTS_INIT, harness.ACCUMULATORS_ONLY,
-              harness.NO_INPUTS_INIT],
-    ids=["multi3", "accs_only", "zero_inputs"])
+              harness.NO_INPUTS_INIT, harness.MULTIPLE_INPUTS_ACCUMULATION],
+    ids=["multi3", "accs_only", "zero_inputs", "multi_acc_1123"])
 def test_gadget_shapes(setup, rng, shape):
     curve, scheme, keys = setup
     gen = make_input_gen(curve, keys[0], rng, False)

@@ -58,3 +58,23 @@ def test_pallas_chunk_padding(fixture, monkeypatch):
         curve, pts, mag, (perm, ranks), C, s,
         signs=signs, signed=True, overflow=overflow))
     assert bool(np.asarray(wst.affine_eq(got, want)))
+
+
+def test_pallas_vpu_body_matches_u32(fixture, monkeypatch):
+    """The hybrid VPU body (roll-accumulate data conv + MXU constant convs,
+    fp8._mul_hybrid) must produce identical buckets to the u32 engine."""
+    curve, pts, mag, signs, ranks, overflow, perm, s = fixture
+    monkeypatch.setattr(msm_pallas, "_INTERPRET", True)
+    monkeypatch.setattr(msm_pallas, "_MUL_BODY", "vpu")
+    monkeypatch.setattr(msm8, "_PALLAS_SWEEP", True)
+    # _sweep_call caches per (curve, nl8, lanes, chunk) but reads _MUL_BODY
+    # at build time — drop entries built by the other body's tests
+    msm_pallas._sweep_call.cache_clear()
+    got = wst.to_affine(curve, msm8.bucket_phase8(
+        curve, pts, mag, (perm, ranks), C, s,
+        signs=signs, signed=True, overflow=overflow))
+    want = wst.to_affine(curve, msm_mod._bucket_phase(
+        curve, pts, mag, (perm, ranks), C, s,
+        signs=signs, signed=True, overflow=overflow))
+    msm_pallas._sweep_call.cache_clear()
+    assert bool(np.asarray(wst.affine_eq(got, want)))

@@ -130,6 +130,13 @@ class AtomicASForInnerProductArgPC(AtomicAccumulationScheme):
         out = []
         for inst, is_acc in ([(i, False) for i in inputs]
                              + [(a, True) for a in accumulators]):
+            # typed structure error where Rust's type system forbids the
+            # state at compile time (ref mod.rs:114-134 checks only the
+            # degree bound; a missing proof cannot be expressed there)
+            if inst.ipa_proof is None:
+                raise (errors.MalformedAccumulator if is_acc
+                       else errors.MalformedInput)(
+                    "Instance is missing its IPA opening proof.")
             res = ipa_pc.succinct_check(
                 self.curve, svk, inst.ipa_commitment, inst.point,
                 inst.evaluation, inst.ipa_proof)
@@ -251,6 +258,17 @@ class AtomicASForInnerProductArgPC(AtomicAccumulationScheme):
 
         input_instances = [p.instance for p in inputs]
         old_instances = [p.instance for p in old_accumulators]
+
+        # typed structure errors up front (ref mod.rs:114-134 analog; a
+        # missing proof is unrepresentable in the Rust types)
+        for inst in input_instances:
+            if inst.ipa_proof is None:
+                raise errors.MalformedInput(
+                    "Input instance is missing its IPA opening proof.")
+        for inst in old_instances:
+            if inst.ipa_proof is None:
+                raise errors.MalformedAccumulator(
+                    "Accumulator instance is missing its IPA opening proof.")
 
         if not make_zk_enabled:
             for inst in input_instances + old_instances:

@@ -7,7 +7,13 @@ re-loaded mid-chain (utils/serialize.py) — an accumulation chain's checkpoint
 IS its accumulator (SURVEY.md §5).
 
 Usage: python examples/deep_chain.py [--steps 32] [--degree 15]
-       [--checkpoint-every 8]
+       [--checkpoint-every 8] [--mesh DCN,ICI]
+
+--mesh runs the whole chain under a hierarchical ("dcn","ici") device grid
+(parallel/multihost.py): every fold-round MSM big enough to shard runs
+through shard_map over the mesh — the BASELINE "1024-step chain on a
+multi-host mesh" configuration.  On the CPU test backend use
+XLA_FLAGS=--xla_force_host_platform_device_count=8 for 8 virtual devices.
 """
 
 import argparse
@@ -24,6 +30,8 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--degree", type=int, default=15)
     ap.add_argument("--checkpoint-every", type=int, default=8)
+    ap.add_argument("--mesh", default=None, metavar="DCN,ICI",
+                    help='hierarchical grid shape, e.g. "2,4"')
     args = ap.parse_args()
 
     from accumulation_tpu.core.accumulation import InstanceWitnessPair, MakeZK
@@ -50,20 +58,30 @@ def main():
         proof = ipa_pc.open(curve, ck, coeffs, comm, point)
         return InstanceWitnessPair(InputInstance(comm, point, value, proof), None)
 
+    import contextlib
+    mesh_ctx = contextlib.nullcontext()
+    if args.mesh:
+        from accumulation_tpu.parallel import context, multihost
+        d_dcn, d_ici = (int(x) for x in args.mesh.split(","))
+        mesh_ctx = context.use_mesh(multihost.make_mesh_2d(d_dcn, d_ici))
+        print(f"chain under ({d_dcn},{d_ici}) hierarchical mesh")
+
     acc = None
     t0 = time.time()
-    for step in range(args.steps):
-        inputs = [fresh_input()]
-        old = [acc] if acc is not None else []
-        acc, proof = scheme.prove(pk, inputs, old, MakeZK.Disabled())
-        ok = scheme.verify(vk, [i.instance for i in inputs],
-                           [a.instance for a in old], acc.instance, proof)
-        assert ok, f"verify failed at step {step}"
-        if (step + 1) % args.checkpoint_every == 0:
-            blob = serialize.serialize_ipa_accumulator(curve, acc)
-            acc = serialize.deserialize_ipa_accumulator(curve, blob)
-            print(f"step {step + 1}: checkpointed accumulator "
-                  f"({len(blob)} bytes), resumed from bytes")
+    with mesh_ctx:
+        for step in range(args.steps):
+            inputs = [fresh_input()]
+            old = [acc] if acc is not None else []
+            acc, proof = scheme.prove(pk, inputs, old, MakeZK.Disabled())
+            ok = scheme.verify(vk, [i.instance for i in inputs],
+                               [a.instance for a in old], acc.instance, proof)
+            assert ok, f"verify failed at step {step}"
+            if (step + 1) % args.checkpoint_every == 0:
+                blob = serialize.serialize_ipa_accumulator(curve, acc)
+                acc = serialize.deserialize_ipa_accumulator(curve, blob)
+                print(f"step {step + 1}: checkpointed accumulator "
+                      f"({len(blob)} bytes), resumed from bytes", flush=True)
+    # the final decide is a one-off check — single-device is fine
     assert scheme.decide(dk, acc), "final decide failed"
     dt = time.time() - t0
     print(f"{args.steps}-step chain complete: {dt:.1f}s "

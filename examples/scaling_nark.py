@@ -43,6 +43,11 @@ def main():
         a = int.from_bytes(rng.bytes(40), "little") % p
         b = int.from_bytes(rng.bytes(40), "little") % p
         circuit = DummyCircuit(a, b, nc, nc)
+        # warm pass: each constraint count is a fresh shape set, and the
+        # first trace compiles — recorded numbers are warm (algorithm
+        # throughput, not XLA compile time)
+        proof = nark.prove(ipk, circuit, make_zk=args.zk, rng=rng)
+        nark.verify(ivk, [1, a * b % p], proof)
         t0 = time.time()
         proof = nark.prove(ipk, circuit, make_zk=args.zk, rng=rng)
         prove_s = time.time() - t0

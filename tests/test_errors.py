@@ -128,3 +128,25 @@ def test_nark_as_rejects_wrong_input_length(rng):
     with pytest.raises(errors.MalformedInput):
         scheme.prove(keys[0], [InstanceWitnessPair(bad_inst, proof.second_msg)],
                      [], MakeZK.Disabled())
+
+
+def test_ipa_as_rejects_missing_input_proof(rng):
+    """An instance with no IPA opening proof must raise the typed
+    MalformedInput (Rust's type system forbids the state at compile time;
+    here it is a runtime structure check — ref mod.rs:114-134 analog)."""
+    from accumulation_tpu.pc import ipa_pc
+    from accumulation_tpu.schemes.ipa_pc_as import (
+        AtomicASForInnerProductArgPC, InputInstance as IpaInstance,
+        PredicateIndex)
+    curve = PALLAS
+    scheme = AtomicASForInnerProductArgPC(curve)
+    pp = ipa_pc.setup(curve, 7)
+    pk, vk, dk = scheme.index(None, pp, PredicateIndex(7, 7))
+    coeffs = fp.random_elements(curve.fr, rng, (8,))
+    point = fp.random_elements(curve.fr, rng, ())
+    comm = ipa_pc.commit(curve, pk.ipa_ck, coeffs)
+    no_proof = InstanceWitnessPair(
+        IpaInstance(comm, point, fp.random_elements(curve.fr, rng, ()),
+                    None), None)
+    with pytest.raises(errors.MalformedInput):
+        scheme.prove(pk, [no_proof], [], MakeZK.Disabled())

@@ -48,19 +48,25 @@ SPLIT_MIN_N = 1024  # below this the sweep is not the bound; keep one layout
 # Fat scan steps amortise per-step launch latency on TPU; on the XLA:CPU
 # test backend the unrolled bodies inflate compile time (and very large
 # graphs have segfaulted the CPU compiler late in long sessions), so the
-# unroll factors are platform-aware.  Env overrides exist because the
-# remote TPU compile helper's memory budget varies by deployment: the
-# 2^16 sweep graph at chunk 16 compiled fine on 2026-08-19 but OOM-killed
-# the helper on 2026-08-20 ("chipless" AOT mode) — a smaller chunk
-# shrinks the traced sweep body proportionally at modest runtime cost.
+# unroll factors are platform-aware.
+#
+# TPU default history: chunk 16 until round 4.  The 16-step 2^16 sweep
+# graph compiled on the 2026-08-19 deployment but OOM-SIGKILLs the
+# "chipless" AOT compile helper of the 2026-08-20 one (r03 bench_s16.err;
+# reproduced twice in r04) — and when the helper dies mid-request the
+# client can HANG indefinitely, wedging the whole relay.  Measured at
+# 2^16/c=8 the (4, 2, 2) graphs are also slightly FASTER (36.5k vs 35.3k
+# pts/s: thinner bodies pipeline better at these shapes), so small unrolls
+# are now the TPU default; raise via env on deployments with a fatter
+# compile budget if profiling ever favours it.
 import os as _os
 _ON_CPU = "cpu" in _os.environ.get("JAX_PLATFORMS", "")
 SWEEP_CHUNK = int(_os.environ.get(
-    "ACCUM_TPU_SWEEP_CHUNK", "2" if _ON_CPU else "16"))
+    "ACCUM_TPU_SWEEP_CHUNK", "2" if _ON_CPU else "4"))
 AGG_UNROLL_N = int(_os.environ.get(
-    "ACCUM_TPU_AGG_UNROLL", "1" if _ON_CPU else "8"))
+    "ACCUM_TPU_AGG_UNROLL", "1" if _ON_CPU else "2"))
 DBL_UNROLL_N = int(_os.environ.get(
-    "ACCUM_TPU_DBL_UNROLL", "1" if _ON_CPU else "8"))
+    "ACCUM_TPU_DBL_UNROLL", "1" if _ON_CPU else "2"))
 
 
 def _pick_c(n: int) -> int:

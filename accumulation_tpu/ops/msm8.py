@@ -20,10 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 import os as _os
-# thin unrolls on the XLA:CPU test backend (compile-time; see ops/msm.py)
+# thin unrolls on the XLA:CPU test backend (compile-time), and small TPU
+# defaults for the memory-constrained remote compile helper (see ops/msm.py
+# unroll-history note)
 _ON_CPU = "cpu" in _os.environ.get("JAX_PLATFORMS", "")
-SWEEP_CHUNK = 2 if _ON_CPU else 8
-DBL_UNROLL_N = 1 if _ON_CPU else 8
+SWEEP_CHUNK = int(_os.environ.get(
+    "ACCUM_TPU_FP8_SWEEP_CHUNK", "2" if _ON_CPU else "4"))
+DBL_UNROLL_N = int(_os.environ.get(
+    "ACCUM_TPU_FP8_DBL_UNROLL", "1" if _ON_CPU else "2"))
 # Pallas sweep kernel (ops/msm_pallas.py): opt-in.  Measured on the v5e
 # (2^16, c=8, s=1280): 2.1 s bucket phase at its best tuning vs ~0.8 s for
 # the u32 XLA sweep — the MXU conv-as-matmul formulation amplifies work 78x

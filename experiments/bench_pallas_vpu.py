@@ -5,10 +5,12 @@ roll-accumulate data conv on the VPU + constant REDC convs on the MXU)
 must beat the shipped u32 XLA sweep by >=3x at 2^16/c=8, or produce the
 profile that kills it.  This times, at the SAME slot layout:
 
-  * u32 XLA sweep      (ops/msm._bucket_phase, stage="sweep") — shipped
-  * fp8 XLA sweep      (ops/msm8._bucket_phase8_xla, stage="sweep")
-  * Pallas sweep       (ops/msm_pallas.sweep_pallas) with the body chosen
-    by ACCUM_TPU_PALLAS_MUL (vpu | mxu) and CHUNK/LANE_BLK env knobs
+  * u32 full msm       (ops/msm.msm — the shipped product path; r03
+    profiling put its sweep at ~0.8 s of the 1.8 s total at 2^16/c=8)
+  * Pallas sweep       (ops/msm_pallas.sweep_pallas, kernel isolated) with
+    the body chosen by ACCUM_TPU_PALLAS_MUL (vpu | mxu) and
+    CHUNK/LANE_BLK env knobs
+  * fp8+pallas full    (ops/msm8.msm8 with the Pallas sweep)
 
 Progress appends to the log file given as argv[2] (default stderr only).
 Usage: env ACCUM_TPU_PALLAS_MUL=vpu python experiments/bench_pallas_vpu.py
@@ -73,20 +75,28 @@ def main():
     log(f"n=2^{n_log} c={c} s={s} body={msm_pallas._MUL_BODY} "
         f"chunk={msm_pallas.CHUNK} lane_blk={msm_pallas.LANE_BLK}")
 
-    # u32 XLA sweep (shipped product sweep at this layout)
-    t_u32 = timeit("u32 XLA sweep", lambda: msm_mod._bucket_phase(
-        curve, pts, mag, (perm, ranks), c, s, stage="sweep",
-        signs=signs, signed=True))
+    # full u32 product path (the shipped MSM — includes digits + sweep +
+    # aggregation; r03 profiling put the sweep at ~0.8 s of the 1.8 s
+    # total at 2^16/c=8)
+    t_u32 = timeit("u32 full msm (shipped)", lambda: msm_mod.msm(
+        curve, pts, scalars, c=c))
 
-    # Pallas sweep, stage-isolated: prepare (untimed) then the kernel
+    # Pallas sweep kernel, isolated: prepare (untimed), then the kernel
     slots_t, px, py, pinf = msm8._prepare8(
         curve, pts, mag, (perm, ranks), c, s, signs=signs, signed=True)
     sync((slots_t, px, py, pinf))
-    t_pal = timeit("pallas sweep", lambda: msm_pallas.sweep_pallas(
+    t_pal = timeit("pallas sweep kernel", lambda: msm_pallas.sweep_pallas(
         curve, px, py, pinf, slots_t, s, n, msm_pallas.CHUNK))
 
-    log(f"RESULT u32={t_u32:.3f}s pallas({msm_pallas._MUL_BODY})="
-        f"{t_pal:.3f}s ratio={t_u32/t_pal:.2f}x (need >=3x)")
+    # full fp8 path with the Pallas sweep (prepare + kernel + combine)
+    msm8._PALLAS_SWEEP = True
+    t_fp8 = timeit("fp8+pallas full msm", lambda: msm8.msm8(
+        curve, pts, scalars, c=c))
+
+    log(f"RESULT u32_full={t_u32:.3f}s pallas_sweep({msm_pallas._MUL_BODY})="
+        f"{t_pal:.3f}s fp8_pallas_full={t_fp8:.3f}s "
+        f"(r03 u32 sweep-only baseline ~0.8s at 2^16; need kernel >=3x "
+        f"faster than that, i.e. <=0.27s)")
 
     # correctness spot-check at the full-msm level: route the fp8 path
     # through the pallas sweep and compare against the u32 product path

@@ -49,8 +49,9 @@ from .sponge_device import DeviceSponge
 
 CHALLENGE_SIZE = 128
 
-# All folding rounds with L <= TAIL_MAX fuse into ONE jitted graph
-# (`_tail`): at degree 2^20 the open otherwise needs one remote compile per
+# All folding rounds with L <= TAIL_MAX fuse into a handful of jitted
+# graphs (`_tail_group`): at degree 2^20 the open otherwise needs one
+# remote compile per
 # round (k ~= 20 graphs, 40-400 s each cold — CLAUDE.md), and the small
 # rounds are all compile cost and no work.  Platform-aware default: the
 # XLA:CPU test backend keeps the tail tiny so the suite covers BOTH the
@@ -58,6 +59,16 @@ CHALLENGE_SIZE = 128
 _ON_CPU = "cpu" in os.environ.get("JAX_PLATFORMS", "")
 TAIL_MAX = int(os.environ.get("ACCUM_TPU_FUSED_TAIL_MAX",
                               "8" if _ON_CPU else "2048"))
+# The tail is further chunked into groups of <= TAIL_GROUP rounds per
+# jitted graph: one graph holding ALL ~11 tail rounds at TAIL_MAX=2048
+# OOM-SIGKILLed the memory-constrained remote TPU compile helper (r04
+# bench_s16c ipa_as_error; the same graph is also XLA:CPU's slowest
+# compile at ~15 min — jit__tail in r04 logs).  Grouping trades one
+# monster compile for ceil(11/G) medium ones whose peak compiler RSS the
+# helper survives.  CPU default 2 so the test suite exercises the
+# group-boundary state threading.
+TAIL_GROUP = max(1, int(os.environ.get("ACCUM_TPU_FUSED_TAIL_GROUP",
+                                       "2" if _ON_CPU else "4")))
 
 
 def _pow2ceil(x: int) -> int:
@@ -429,12 +440,17 @@ def _round_fold(curve: CurveSpec, pm, state, a, b, g: Affine, u: Projective,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _tail(curve: CurveSpec, plans, pm, mesh, state, a, b, g: Affine,
-          u: Projective):
-    """All remaining folding rounds (L <= TAIL_MAX) in ONE graph: the small
-    rounds are compile-latency-bound, not work-bound, so fusing them turns
-    ~log2(TAIL_MAX) remote compiles into one.  Returns
-    (l_stack, r_stack, c=a[0], final_g, overflow_any)."""
+def _tail_group(curve: CurveSpec, plans, pm, mesh, state, a, b, g: Affine,
+                u: Projective):
+    """A group of <= TAIL_GROUP consecutive small folding rounds
+    (L <= TAIL_MAX) fused into ONE graph: the small rounds are
+    compile-latency-bound, not work-bound, so fusing them cuts remote
+    compiles from ~log2(TAIL_MAX) to ceil(.../TAIL_GROUP) — while keeping
+    each graph small enough for the remote compile helper (see TAIL_GROUP
+    note).  The duplex schedule is identical every round, so every group
+    boundary sits at sponge (mode, pos) = pm and only the traced state
+    threads through.  Returns (state', l_stack, r_stack, a', b', g',
+    overflow_any)."""
     sp = DeviceSponge(curve.fq)
     sp.state, sp.mode, sp.pos = state, pm[0], pm[1]
     ls, rs, flags = [], [], []
@@ -445,11 +461,8 @@ def _tail(curve: CurveSpec, plans, pm, mesh, state, a, b, g: Affine,
         rs.append(r_aff)
         flags.append(of)
     from ..schemes import common as scommon
-    overflow = jnp.any(jnp.stack(flags)) if flags else jnp.asarray(False)
-    l_stack = scommon.stack_affine(ls) if ls else wst.affine_zero(curve, (0,))
-    r_stack = scommon.stack_affine(rs) if rs else wst.affine_zero(curve, (0,))
-    final_g = Affine(g.x[0], g.y[0], g.inf[0])
-    return l_stack, r_stack, a[0], final_g, overflow
+    return (sp.state, scommon.stack_affine(ls), scommon.stack_affine(rs),
+            a, b, g, jnp.any(jnp.stack(flags)))
 
 
 def _fold_g(curve: CurveSpec, g_lo: Affine, g_hi: Affine, xi_inv_bits):
@@ -528,9 +541,18 @@ def open_fused(curve: CurveSpec, ck, coeffs, comm: Affine, point,
         flags.append(jnp.any(of2))
 
     if tail:
-        l_stack, r_stack, c_final, final_g, of_tail = _tail(
-            curve, tail, ("squeeze", 1), mesh, state, a, b, g, u)
-        flags.append(of_tail)
+        tail_ls, tail_rs = [], []
+        for i in range(0, len(tail), TAIL_GROUP):
+            state, gl, gr, a, b, g, of_g = _tail_group(
+                curve, tail[i:i + TAIL_GROUP], ("squeeze", 1), mesh,
+                state, a, b, g, u)
+            tail_ls.append(gl)
+            tail_rs.append(gr)
+            flags.append(of_g)
+        l_stack = scommon.cat_affine(tail_ls)
+        r_stack = scommon.cat_affine(tail_rs)
+        c_final = a[0]
+        final_g = Affine(g.x[0], g.y[0], g.inf[0])
     else:
         l_stack = r_stack = None
         c_final = a[0]

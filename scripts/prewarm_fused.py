@@ -78,13 +78,22 @@ def _compile_one(spec: str):
         m2 = wst.projective_zero(curve, (2,))
         out = fo._round_fold(curve, ("squeeze", 1), state, a, a, g, u, m2)
     elif kind == "tail":
-        n = int(arg)
+        # tail:N[,GI] — compile tail group GI (default: all groups in
+        # sequence; a group's outputs feed the next group's input shapes)
+        parts = [int(x) for x in arg.split(",")]
+        n, gi = parts[0], (parts[1] if len(parts) > 1 else None)
         _, tail = fo.round_plan(n)
         if not tail:
             return
-        L0 = tail[0][0]
-        a, g = dummy(L0)
-        out = fo._tail(curve, tail, ("squeeze", 1), None, state, a, a, g, u)
+        groups = [tail[i:i + fo.TAIL_GROUP]
+                  for i in range(0, len(tail), fo.TAIL_GROUP)]
+        if gi is not None:
+            groups = [groups[gi]]
+        out = None
+        for grp in groups:
+            a, g = dummy(grp[0][0])
+            out = fo._tail_group(curve, grp, ("squeeze", 1), None,
+                                 state, a, a, g, u)
     else:
         raise SystemExit(f"unknown graph spec {spec!r}")
     # small readback = the only reliable completion barrier on axon
@@ -126,13 +135,15 @@ def main():
     # the largest pivot's graphs, the tail (any open needs it), then the
     # smaller pivots (each one warm lets ACCUM_TPU_FUSED_PIVOTS drop it in)
     sets = list(dict.fromkeys((Lp, c, s) for (_L, Lp, c, s) in big))
+    n_groups = (len(tail) + fo.TAIL_GROUP - 1) // fo.TAIL_GROUP
+    tail_specs = [f"tail:{n},{gi}" for gi in range(n_groups)]
     specs = [f"prologue:{n}"]
     for i, (Lp, c, s) in enumerate(sets):
         specs += [f"rmsm:{Lp},{c},{s}", f"rfold:{Lp}"]
-        if i == 0 and tail:
-            specs.append(f"tail:{n}")
-    if not sets and tail:
-        specs.append(f"tail:{n}")
+        if i == 0:
+            specs += tail_specs
+    if not sets:
+        specs += tail_specs
     print(f"[prewarm] {len(specs)} graphs for n=2^{args.log_n}, "
           f"{args.jobs} parallel jobs", flush=True)
 

@@ -125,8 +125,16 @@ def bench_msm(curve, n, c, reps):
     return n / dt, dt, s, rows
 
 
-def bench_scheme(curve, log_degree):
-    """ipa_pc_as index/prove/verify/decide at degree 2^log_degree - 1."""
+def bench_scheme(curve, log_degree, extra=None):
+    """ipa_pc_as index/prove/verify/decide at degree 2^log_degree - 1.
+
+    Phase timings are written into `extra` AS EACH PHASE COMPLETES so a
+    deadline partial-emit (or a helper crash) mid-stage still records the
+    phases that did finish — three rounds of ipa_as numbers were lost to
+    all-or-nothing reporting.
+    """
+    if extra is None:
+        extra = {}
     if _degraded["flag"]:
         # shrink the fused open's sweep bodies the same way; its graphs
         # have not been traced yet in this process, so mutating the
@@ -149,6 +157,8 @@ def bench_scheme(curve, log_degree):
     pp = ipa_pc.setup(curve, deg)
     pk, vk, dk = scheme.index(None, pp, PredicateIndex(deg, deg))
     t_index = time.time() - t0
+    extra["ipa_as_degree"] = deg
+    extra["ipa_as_index_s"] = round(t_index, 2)
 
     # one real opening claim as the input instance
     coeffs = fp.random_elements(curve.fr, rng, (deg + 1,))
@@ -164,18 +174,22 @@ def bench_scheme(curve, log_degree):
     t0 = time.time()
     acc, asp = scheme.prove(pk, inputs, [], MakeZK.Disabled())
     t_prove = time.time() - t0
+    extra["ipa_as_prove_s"] = round(t_prove, 2)
 
     ok = scheme.verify(vk, [inst], [], acc.instance, asp)
     t0 = time.time()
     ok = scheme.verify(vk, [inst], [], acc.instance, asp)
     t_verify = time.time() - t0
     assert ok, "flagship verify failed"
+    extra["ipa_as_verify_s"] = round(t_verify, 2)
+    extra["ipa_as_accumulations_per_s"] = round(1.0 / (t_prove + t_verify), 4)
 
     ok_d = scheme.decide(dk, acc)
     t0 = time.time()
     ok_d = scheme.decide(dk, acc)
     t_decide = time.time() - t0
     assert ok_d, "flagship decide failed"
+    extra["ipa_as_decide_s"] = round(t_decide, 2)
     return t_index, t_prove, t_verify, t_decide
 
 
@@ -240,6 +254,31 @@ def main():
 
         threading.Thread(target=_watchdog, daemon=True).start()
 
+    # The flagship scheme stage runs FIRST: it is the BASELINE headline
+    # metric (ipa-pc-as accumulations/s), and on a cold XLA cache the MSM
+    # stages alone can eat the whole bench deadline (~35 min per sweep
+    # graph on the remote compiler) — were they first, a deadline
+    # partial-emit would drop the scheme keys entirely.  Scheme-first
+    # means a warm-scheme/cold-MSM cache still records the flagship
+    # numbers before the watchdog fires.
+    if os.environ.get("BENCH_SKIP_SCHEME") != "1":
+        # Default the scheme stage to 2^16: the 2^20 fused-open graph set
+        # needs ~1 h of cold remote compiles and its largest round graph
+        # has crashed the remote TPU worker 3 of 4 attempts
+        # (experiments/r03/prewarm20_*.log) — on a cold cache the 2^20
+        # stage cannot complete inside the bench deadline.  2^16 runs the
+        # identical code path (fused open, split rounds, mesh-aware MSM)
+        # at a compile-feasible size; set BENCH_SCHEME_LOG_DEGREE=20 once
+        # a warm cache exists.
+        logd = int(os.environ.get("BENCH_SCHEME_LOG_DEGREE", "16"))
+        try:
+            _stage(f"ipa_pc_as at degree 2^{logd}-1 ...")
+            ti, tp, tv, td = bench_scheme(curve, logd, extra)
+            _stage(f"ipa_pc_as: index {ti:.1f}s prove {tp:.1f}s "
+                   f"verify {tv:.1f}s decide {td:.1f}s")
+        except Exception as e:  # keep the headline metric even if this fails
+            extra["ipa_as_error"] = f"{type(e).__name__}: {e}"[:200]
+
     pps_16 = None
     if os.environ.get("BENCH_SKIP_2E16") != "1":
         try:
@@ -273,30 +312,6 @@ def main():
         _stage(f"msm n={n} FAILED: {extra['msm_big_error']}")
     if _degraded["flag"]:
         extra["degraded_unrolls"] = list(REDUCED_UNROLLS)
-
-    if os.environ.get("BENCH_SKIP_SCHEME") != "1":
-        # Default the scheme stage to 2^16: the 2^20 fused-open graph set
-        # needs ~1 h of cold remote compiles and its largest round graph
-        # has crashed the remote TPU worker 3 of 4 attempts
-        # (experiments/r03/prewarm20_*.log) — on a cold cache the 2^20
-        # stage cannot complete inside the bench deadline.  2^16 runs the
-        # identical code path (fused open, split rounds, mesh-aware MSM)
-        # at a compile-feasible size; set BENCH_SCHEME_LOG_DEGREE=20 once
-        # a warm cache exists.
-        logd = int(os.environ.get("BENCH_SCHEME_LOG_DEGREE", "16"))
-        try:
-            _stage(f"ipa_pc_as at degree 2^{logd}-1 ...")
-            ti, tp, tv, td = bench_scheme(curve, logd)
-            _stage(f"ipa_pc_as: index {ti:.1f}s prove {tp:.1f}s "
-                   f"verify {tv:.1f}s decide {td:.1f}s")
-            extra["ipa_as_degree"] = (1 << logd) - 1
-            extra["ipa_as_index_s"] = round(ti, 2)
-            extra["ipa_as_prove_s"] = round(tp, 2)
-            extra["ipa_as_verify_s"] = round(tv, 2)
-            extra["ipa_as_decide_s"] = round(td, 2)
-            extra["ipa_as_accumulations_per_s"] = round(1.0 / (tp + tv), 4)
-        except Exception as e:  # keep the headline metric even if this fails
-            extra["ipa_as_error"] = f"{type(e).__name__}: {e}"[:200]
 
     headline = pps_n if pps_n is not None else (pps_16 or 0.0)
     out = {

@@ -80,19 +80,47 @@ def main():
     pts = _sample_points(curve, n, b"scaling|" + str(n).encode())
     scalars = fp.random_elements(curve.fr, rng, (n,))
 
+    # Resume: a prior checkpoint (same n, c) carries its measured T_1 /
+    # relay floor / completed D terms forward, so a re-run only compiles
+    # the MISSING shard graphs — the T_1 graph alone is a ~35 min cold
+    # compile on the remote helper and must not be repeated per attempt.
+    ckpt = os.environ.get("SCALING_CKPT")
+    prev = {}
+    if ckpt and os.path.exists(ckpt):
+        try:
+            with open(ckpt) as f:
+                prev = json.loads(f.read().strip() or "{}")
+        except Exception:
+            prev = {}
+        if prev.get("n") != n or prev.get("c") != c:
+            prev = {}
+        elif prev:
+            print(f"[scaling] resuming from {ckpt}: "
+                  f"{sorted(k for k in prev if k.startswith('d'))}",
+                  file=sys.stderr)
+
     # relay floor: the smallest readback's round-trip (bounds any wire term)
     tiny = jnp.zeros((4,), jnp.uint32)
-    relay_floor = time_graph(lambda: tiny + 1, reps=5)
+    if "relay_floor_s" in prev:
+        relay_floor = prev["relay_floor_s"]
+    else:
+        relay_floor = time_graph(lambda: tiny + 1, reps=5)
 
     # T_1: the shipped single-chip product path
-    t1 = time_graph(lambda: msm_mod.msm(curve, pts, scalars, c=c))
-    print(f"[scaling] T_1(n=2^{n_log}) = {t1*1e3:.0f} ms", file=sys.stderr)
+    if "t1_s" in prev:
+        t1 = prev["t1_s"]
+        print(f"[scaling] T_1(n=2^{n_log}) = {t1*1e3:.0f} ms (checkpoint)",
+              file=sys.stderr)
+    else:
+        t1 = time_graph(lambda: msm_mod.msm(curve, pts, scalars, c=c))
+        print(f"[scaling] T_1(n=2^{n_log}) = {t1*1e3:.0f} ms",
+              file=sys.stderr)
 
     out = {"metric": "msm_scaling_efficiency_model", "n": n, "c": c,
            "t1_s": round(t1, 4), "relay_floor_s": round(relay_floor, 4)}
+    out.update({k: v for k, v in prev.items() if k.startswith("d")})
     # a kill mid-compile (cold shard graphs are minutes each) must not
     # lose completed D terms: checkpoint the JSON line after every D
-    ckpt = os.environ.get("SCALING_CKPT")
 
     def _checkpoint():
         if ckpt:
@@ -101,6 +129,10 @@ def main():
 
     _checkpoint()
     for d in ds:
+        if f"d{d}_efficiency" in out:
+            print(f"[scaling] D={d}: checkpointed, skipping",
+                  file=sys.stderr)
+            continue
         n_loc = n // d
         pts_l = wst.Affine(pts.x[:n_loc], pts.y[:n_loc], pts.inf[:n_loc])
         sc_l = scalars[:n_loc]

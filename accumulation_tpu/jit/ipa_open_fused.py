@@ -65,10 +65,13 @@ TAIL_MAX = int(os.environ.get("ACCUM_TPU_FUSED_TAIL_MAX",
 # bench_s16c ipa_as_error; the same graph is also XLA:CPU's slowest
 # compile at ~15 min — jit__tail in r04 logs).  Grouping trades one
 # monster compile for ceil(11/G) medium ones whose peak compiler RSS the
-# helper survives.  CPU default 2 so the test suite exercises the
-# group-boundary state threading.
+# helper survives.  A 4-round group (1.1 MB of MLIR) STILL SIGKILLed the
+# helper (experiments/r04/prewarm16_s3b.log), so the TPU default is now 1
+# round per graph — ~11 small compiles; the per-round graphs are the only
+# tail shape proven to get through this deployment's helper.  CPU default
+# 2 so the test suite exercises the group-boundary state threading.
 TAIL_GROUP = max(1, int(os.environ.get("ACCUM_TPU_FUSED_TAIL_GROUP",
-                                       "2" if _ON_CPU else "4")))
+                                       "2" if _ON_CPU else "1")))
 
 
 def _pow2ceil(x: int) -> int:

@@ -125,16 +125,19 @@ def bench_msm(curve, n, c, reps):
     return n / dt, dt, s, rows
 
 
-def bench_scheme(curve, log_degree, extra=None):
+def bench_scheme(curve, log_degree, extra=None, suffix=""):
     """ipa_pc_as index/prove/verify/decide at degree 2^log_degree - 1.
 
     Phase timings are written into `extra` AS EACH PHASE COMPLETES so a
     deadline partial-emit (or a helper crash) mid-stage still records the
     phases that did finish — three rounds of ipa_as numbers were lost to
-    all-or-nothing reporting.
+    all-or-nothing reporting.  `suffix` namespaces the keys (e.g. "_d16")
+    so a partial run at one degree cannot mix phases into another
+    degree's set.
     """
     if extra is None:
         extra = {}
+    k = "ipa_as" + suffix
     if _degraded["flag"]:
         # shrink the fused open's sweep bodies the same way; its graphs
         # have not been traced yet in this process, so mutating the
@@ -157,8 +160,8 @@ def bench_scheme(curve, log_degree, extra=None):
     pp = ipa_pc.setup(curve, deg)
     pk, vk, dk = scheme.index(None, pp, PredicateIndex(deg, deg))
     t_index = time.time() - t0
-    extra["ipa_as_degree"] = deg
-    extra["ipa_as_index_s"] = round(t_index, 2)
+    extra[k + "_degree"] = deg
+    extra[k + "_index_s"] = round(t_index, 2)
 
     # one real opening claim as the input instance
     coeffs = fp.random_elements(curve.fr, rng, (deg + 1,))
@@ -174,22 +177,22 @@ def bench_scheme(curve, log_degree, extra=None):
     t0 = time.time()
     acc, asp = scheme.prove(pk, inputs, [], MakeZK.Disabled())
     t_prove = time.time() - t0
-    extra["ipa_as_prove_s"] = round(t_prove, 2)
+    extra[k + "_prove_s"] = round(t_prove, 2)
 
     ok = scheme.verify(vk, [inst], [], acc.instance, asp)
     t0 = time.time()
     ok = scheme.verify(vk, [inst], [], acc.instance, asp)
     t_verify = time.time() - t0
     assert ok, "flagship verify failed"
-    extra["ipa_as_verify_s"] = round(t_verify, 2)
-    extra["ipa_as_accumulations_per_s"] = round(1.0 / (t_prove + t_verify), 4)
+    extra[k + "_verify_s"] = round(t_verify, 2)
+    extra[k + "_accumulations_per_s"] = round(1.0 / (t_prove + t_verify), 4)
 
     ok_d = scheme.decide(dk, acc)
     t0 = time.time()
     ok_d = scheme.decide(dk, acc)
     t_decide = time.time() - t0
     assert ok_d, "flagship decide failed"
-    extra["ipa_as_decide_s"] = round(t_decide, 2)
+    extra[k + "_decide_s"] = round(t_decide, 2)
     return t_index, t_prove, t_verify, t_decide
 
 
@@ -271,13 +274,35 @@ def main():
         # at a compile-feasible size; set BENCH_SCHEME_LOG_DEGREE=20 once
         # a warm cache exists.
         logd = int(os.environ.get("BENCH_SCHEME_LOG_DEGREE", "16"))
+        # Two passes: a SAFE small degree first (all graphs are minutes to
+        # compile — tail rounds, tiny commit MSM), so a complete flagship
+        # phase set exists before the target degree's ~35-min cold commit
+        # MSM + big-round compiles are even attempted.  The safe pass is
+        # also a literal prewarm for the target: tail-round graphs depend
+        # only on the round size L, so degree 2^10's rounds ARE the target
+        # open's rounds below 2^10.  The safe pass writes the plain
+        # ipa_as_* keys; the target pass writes ipa_as_d{logd}_* and, on
+        # FULL completion, promotes them to the plain keys — a partial
+        # target run can never mix degrees inside one key set.
+        safe_logd = int(os.environ.get("BENCH_SCHEME_SAFE_LOG_DEGREE", "10"))
+        if 0 < safe_logd < logd:
+            try:
+                _stage(f"ipa_pc_as at degree 2^{safe_logd}-1 (safe) ...")
+                ti, tp, tv, td = bench_scheme(curve, safe_logd, extra)
+                _stage(f"ipa_pc_as d{safe_logd}: index {ti:.1f}s prove "
+                       f"{tp:.1f}s verify {tv:.1f}s decide {td:.1f}s")
+            except Exception as e:
+                extra["ipa_as_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
             _stage(f"ipa_pc_as at degree 2^{logd}-1 ...")
-            ti, tp, tv, td = bench_scheme(curve, logd, extra)
+            ti, tp, tv, td = bench_scheme(curve, logd, extra, f"_d{logd}")
             _stage(f"ipa_pc_as: index {ti:.1f}s prove {tp:.1f}s "
                    f"verify {tv:.1f}s decide {td:.1f}s")
+            for ph in ("degree", "index_s", "prove_s", "verify_s",
+                       "accumulations_per_s", "decide_s"):
+                extra[f"ipa_as_{ph}"] = extra[f"ipa_as_d{logd}_{ph}"]
         except Exception as e:  # keep the headline metric even if this fails
-            extra["ipa_as_error"] = f"{type(e).__name__}: {e}"[:200]
+            extra[f"ipa_as_d{logd}_error"] = f"{type(e).__name__}: {e}"[:200]
 
     pps_16 = None
     if os.environ.get("BENCH_SKIP_2E16") != "1":

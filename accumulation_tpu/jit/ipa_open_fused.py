@@ -57,8 +57,18 @@ CHALLENGE_SIZE = 128
 # XLA:CPU test backend keeps the tail tiny so the suite covers BOTH the
 # per-round and the fused-tail paths at the reference test degrees.
 _ON_CPU = "cpu" in os.environ.get("JAX_PLATFORMS", "")
+# TPU default 1024 (was 2048): the L=2048 single-round tail group — a
+# vmapped cross-term MSM PAIR + fold + 256-step scalar scan fused in one
+# graph — reproducibly OOM-SIGKILLs the 2026-08-20 deployment's remote
+# compile helper (~17-min hang then death; it was r04's unidentified
+# bench killer — experiments/r05/prewarm16.log, two kills at 19:11 and
+# 22:05).  At TAIL_MAX=1024 that round runs through the SPLIT
+# _round_msms/_round_fold path instead (padded into the 4096 pivot set,
+# which the helper compiles fine), the round plan keeps the same three
+# pivot graph sets at n=2^16, and every smaller tail-group graph is one
+# the helper has already survived.
 TAIL_MAX = int(os.environ.get("ACCUM_TPU_FUSED_TAIL_MAX",
-                              "8" if _ON_CPU else "2048"))
+                              "8" if _ON_CPU else "1024"))
 # The tail is further chunked into groups of <= TAIL_GROUP rounds per
 # jitted graph: one graph holding ALL ~11 tail rounds at TAIL_MAX=2048
 # OOM-SIGKILLed the memory-constrained remote TPU compile helper (r04

@@ -16,8 +16,17 @@ extra key vs_r01_disavowed for cross-round continuity.
 
 Extra keys:
   msm_2e16_pps / msm_2e20_pps   — product MSM throughput
-  ipa_as_prove_s / ipa_as_verify_s / ipa_as_decide_s (degree 2^20 - 1)
+  ipa_as_prove_s / ipa_as_verify_s / ipa_as_decide_s
   ipa_as_accumulations_per_s    — 1 / (prove + verify)
+
+Two-pass scheme semantics: a SAFE pass at 2^BENCH_SCHEME_SAFE_LOG_DEGREE
+(default 10) writes the plain ipa_as_* keys first; the TARGET pass at
+2^BENCH_SCHEME_LOG_DEGREE (default 16) writes ipa_as_d{logd}_* and, on
+full completion, PROMOTES them into the plain keys.  ipa_as_pass
+("safe"|"target") says which degree the plain keys describe;
+ipa_as_degree always matches them.  A target failure is mirrored into
+ipa_as_error (the long-standing contract key) as well as
+ipa_as_d{logd}_error.
   adds_per_s / field_muls_per_s / sol_fraction — roofline accounting for the
       2^20 MSM: group-adds actually executed (slot sweep s*w*nb + log-agg +
       doubling chain), 11.5 field muls per add, against an assumed 2.5e12
@@ -291,6 +300,7 @@ def main():
                 ti, tp, tv, td = bench_scheme(curve, safe_logd, extra)
                 _stage(f"ipa_pc_as d{safe_logd}: index {ti:.1f}s prove "
                        f"{tp:.1f}s verify {tv:.1f}s decide {td:.1f}s")
+                extra["ipa_as_pass"] = "safe"
             except Exception as e:
                 extra["ipa_as_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
@@ -301,8 +311,36 @@ def main():
             for ph in ("degree", "index_s", "prove_s", "verify_s",
                        "accumulations_per_s", "decide_s"):
                 extra[f"ipa_as_{ph}"] = extra[f"ipa_as_d{logd}_{ph}"]
+            extra["ipa_as_pass"] = "target"
+            # the plain keys now describe a COMPLETE target run — a stale
+            # safe-pass error would misreport it (ADVICE r04)
+            extra.pop("ipa_as_error", None)
         except Exception as e:  # keep the headline metric even if this fails
             extra[f"ipa_as_d{logd}_error"] = f"{type(e).__name__}: {e}"[:200]
+            # mirror into the long-standing contract key unless the safe
+            # pass already recorded its own failure there (ADVICE r04)
+            extra.setdefault("ipa_as_error", extra[f"ipa_as_d{logd}_error"])
+
+    # hp-as stage (BASELINE config #2, len 2^14) — opt-in: the first TPU
+    # scheme number outside ipa_pc_as.  Off by default so the driver's
+    # deadline stays budgeted for the flagship + MSM stages.
+    if os.environ.get("BENCH_HP_AS") == "1":
+        try:
+            hp_log = int(os.environ.get("BENCH_HP_LOG_LEN", "14"))
+            _stage(f"hp_as at len 2^{hp_log} ...")
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "examples"))
+            from scaling_as import profile_hp
+            r = profile_hp(1 << hp_log, np.random.default_rng(2), False)
+            for ph in ("index", "prove", "verify", "decide"):
+                extra[f"hp_as_{ph}_s"] = round(r[ph] / 1e3, 2)
+            extra["hp_as_len"] = 1 << hp_log
+            _stage(f"hp_as: index {r['index']/1e3:.1f}s prove "
+                   f"{r['prove']/1e3:.1f}s verify {r['verify']/1e3:.1f}s "
+                   f"decide {r['decide']/1e3:.1f}s")
+        except Exception as e:
+            extra["hp_as_error"] = f"{type(e).__name__}: {e}"[:200]
+            _stage(f"hp_as FAILED: {extra['hp_as_error']}")
 
     pps_16 = None
     if os.environ.get("BENCH_SKIP_2E16") != "1":

@@ -76,6 +76,14 @@ def main():
     n = 1 << n_log
     curve = PALLAS
     rng = np.random.default_rng(3)
+    # engine/unroll config fingerprint: timings recorded under one config
+    # must not be combined with another's (ADVICE r04)
+    engine_cfg = "|".join([
+        os.environ.get("ACCUM_TPU_MSM_ENGINE", ""),
+        str(msm_mod.SWEEP_CHUNK), str(msm_mod.AGG_UNROLL_N),
+        str(msm_mod.DBL_UNROLL_N),
+        os.environ.get("ACCUM_TPU_UNROLL_CARRIES", ""),
+    ])
 
     pts = _sample_points(curve, n, b"scaling|" + str(n).encode())
     scalars = fp.random_elements(curve.fr, rng, (n,))
@@ -92,7 +100,8 @@ def main():
                 prev = json.loads(f.read().strip() or "{}")
         except Exception:
             prev = {}
-        if prev.get("n") != n or prev.get("c") != c:
+        if prev.get("n") != n or prev.get("c") != c \
+                or prev.get("engine_cfg", engine_cfg) != engine_cfg:
             prev = {}
         elif prev:
             print(f"[scaling] resuming from {ckpt}: "
@@ -117,6 +126,7 @@ def main():
               file=sys.stderr)
 
     out = {"metric": "msm_scaling_efficiency_model", "n": n, "c": c,
+           "engine_cfg": engine_cfg,
            "t1_s": round(t1, 4), "relay_floor_s": round(relay_floor, 4)}
     out.update({k: v for k, v in prev.items() if k.startswith("d")})
     # a kill mid-compile (cold shard graphs are minutes each) must not

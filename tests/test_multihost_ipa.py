@@ -45,35 +45,34 @@ def test_ipa_open_check_under_mesh(mesh2d, rng):
     assert ipa_pc.check(C, ck, comm, point, value, proof)
 
 
-def test_fused_open_sharded_rounds(mesh2d, rng):
-    """The FUSED on-device open (the product prover) under the mesh: rounds
-    big enough to shard (half >= 8 * MESH_MIN_LOCAL here) run their two
-    cross-term MSMs through shard_map over the ("dcn","ici") grid; the
-    result must be byte-identical to the single-device fused proof (same
-    transcript, exact arithmetic — round-2 verdict weak #5)."""
-    from accumulation_tpu.jit import ipa_open_fused as fo
-    from accumulation_tpu.ops import poly as poly_ops
-    from accumulation_tpu.pc import ipa_pc
+def test_fused_open_sharded_rounds():
+    """The FUSED open's shard_map byte-identity — run in a FRESH
+    interpreter (tests/fused_sharded_suite.py): its sharded round graphs
+    segfault a loaded xdist worker via the known XLA:CPU late-compile
+    crash (three "node down" runs in r04), while a clean process always
+    passes.  Same isolation pattern as tests/test_msm.py."""
+    import os
+    import subprocess
+    import sys
 
-    deg = 255  # n = 256: first round half=128 -> 16/shard (sharded),
-    # second half=64 -> 8/shard < MESH_MIN_LOCAL (single-device)
-    pp = ipa_pc.setup(C, deg)
-    ck = ipa_pc.trim(pp, deg)
-    coeffs = fp.random_elements(C.fr, rng, (deg + 1,))
-    point = fp.random_elements(C.fr, rng, ())
-    comm = ipa_pc.commit(C, ck, coeffs)
-    value = poly_ops.evaluate(C.fr, coeffs, point)
-
-    # the plan really does shard the first round under this mesh
-    big, _tail = fo.round_plan(256, mesh2d)
-    assert fo._mesh_shardable(mesh2d, big[0][1] // 2)  # pivot size Lp
-
-    proof_single = fo.open_fused(C, ck, coeffs, comm, point)
-    with context.use_mesh(mesh2d):
-        proof_mesh = fo.open_fused(C, ck, coeffs, comm, point)
-    # Proof is a plain dataclass (NOT a pytree — tree_leaves returns the
-    # object itself); byte-compare the canonical serialization instead
-    from accumulation_tpu.utils import serialize
-    assert serialize.serialize_ipa_proof(C, proof_single) == \
-        serialize.serialize_ipa_proof(C, proof_mesh)
-    assert ipa_pc.check(C, ck, comm, point, value, proof_mesh)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags += " --xla_force_host_platform_device_count=8"
+    if "xla_cpu_parallel_codegen_split_count" not in flags:
+        flags += " --xla_cpu_parallel_codegen_split_count=1"
+    env["XLA_FLAGS"] = flags.strip()
+    here = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         os.path.join(here, "fused_sharded_suite.py"), "-q", "-o",
+         "addopts=", "-p", "no:cacheprovider"],
+        env=env, capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(here),
+    )
+    if proc.returncode != 0:
+        print(proc.stdout[-4000:])
+        print(proc.stderr[-2000:])
+    assert proc.returncode == 0, "fused sharded suite failed in subprocess"

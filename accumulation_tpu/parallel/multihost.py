@@ -84,8 +84,18 @@ def make_mesh_2d(n_dcn: int, n_ici: Optional[int] = None,
         n_ici = len(devices) // n_dcn
     if jax.process_count() > 1:
         from jax.experimental import mesh_utils
-        arr = mesh_utils.create_hybrid_device_mesh(
-            (1, n_ici), (n_dcn, 1), devices=devices)
+        try:
+            # TPU pods: granule = slice (devices carry slice_index)
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (1, n_ici), (n_dcn, 1), devices=devices)
+        except ValueError:
+            # CPU/GPU multi-process jobs have no slice_index granules —
+            # the host boundary IS the process boundary (found by
+            # scripts/dcn_smoke.py, r05: "Number of slices 1 must equal
+            # the product of dcn_mesh_shape")
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (1, n_ici), (n_dcn, 1), devices=devices,
+                process_is_granule=True)
     else:
         if len(devices) < n_dcn * n_ici:
             raise ValueError(f"mesh ({n_dcn}, {n_ici}) needs "

@@ -89,15 +89,59 @@ def _pow2ceil(x: int) -> int:
 
 
 def _slot_bound(L: int, c: int) -> int:
-    """Static Pippenger slot bound for L pseudo-random scalars, window c
-    (signed digits: magnitudes uniform over 2^(c-1) buckets per window).
+    """Static Pippenger slot bound for the BULK windows of L pseudo-random
+    scalars, window c (signed digits: magnitudes uniform over 2^(c-1)
+    buckets per window).
 
-    Bucket occupancy is ~Poisson(mu = L/2^(c-1)); mu + 8*sqrt(mu) + 16 holds
-    with overwhelming margin across all w*2^(c-1) buckets.  Overflow is
-    still *detected* (not assumed away) — see `_msm_static`."""
+    Bucket occupancy is ~Poisson(mu = L/2^(c-1)); mu + 8*sqrt(mu) + 16
+    holds with overwhelming margin across the bulk windows.  The TOP k+r
+    window is NOT uniform — its occupancy concentrates at ~2.0x the bulk
+    mean (measured 543 vs ~306 at L=2048/c=4, r05) — so the static sweep
+    splits it into STATIC_TOP_REPS replica rows of this bulk depth
+    (`_static_sweep`, the in-graph analog of ops.msm._plan_split).
+    Overflow of either bound is still *detected*, never assumed away."""
     mu = max(1, L >> (c - 1))
     s = mu + 8 * int(mu ** 0.5) + 16
     return min(_pow2ceil(s), L)
+
+
+# replica rows for the concentrated top window: its measured max (~2.0x
+# the bulk mean + Poisson tail) always fits 2 rows of the bulk bound,
+# which itself is >= 2x the bulk mean after _pow2ceil.  Until r05 the
+# static path used ONE shared bound — the top window exceeded it
+# deterministically for halves >= 1024, so every big fused round silently
+# fell back to the host prover (the r05 safe-pass bench's 2 h mystery).
+STATIC_TOP_REPS = 2
+
+
+def _static_sweep(curve: CurveSpec, pts: Affine, mag, signs, ranks,
+                  overflow, wmaxes, c: int, s: int):
+    """The fused rounds' bucket sweep with the STATIC top-window split:
+    bulk windows at depth `s`, the hot top window as STATIC_TOP_REPS
+    replica rows of the same depth (ops.msm._split_hot_window is pure jnp,
+    so the split lives in-graph — only the slot-bound *measurement* needed
+    a host sync, and the static bounds replace that).  Returns
+    (Projective, overflow_flag); the flag covers both bounds."""
+    w = mag.shape[-2]
+    perm = jnp.broadcast_to(
+        jnp.arange(mag.shape[-1], dtype=jnp.int32), mag.shape)
+    if w < 2:
+        out = msm_mod._bucket_phase(curve, pts, mag, (perm, ranks), c, s,
+                                    signs=signs, signed=True,
+                                    overflow=overflow)
+        return out, jnp.max(wmaxes) > s
+    mag2, signs2, ranks2 = msm_mod._split_hot_window(
+        mag, signs, ranks, s, STATIC_TOP_REPS)
+    perm2 = jnp.broadcast_to(
+        jnp.arange(mag2.shape[-1], dtype=jnp.int32), mag2.shape)
+    dbl_counts = tuple(c * i for i in range(w - 1)) \
+        + (c * (w - 1),) * STATIC_TOP_REPS
+    out = msm_mod._bucket_phase(curve, pts, mag2, (perm2, ranks2), c, s,
+                                signs=signs2, signed=True, overflow=overflow,
+                                dbl_counts=dbl_counts)
+    flag = (jnp.max(wmaxes[..., :-1]) > s) \
+        | (wmaxes[..., -1] > STATIC_TOP_REPS * s)
+    return out, flag
 
 
 def _msm_static(curve: CurveSpec, pts: Affine, scalars, c: int, s: int):
@@ -107,16 +151,14 @@ def _msm_static(curve: CurveSpec, pts: Affine, scalars, c: int, s: int):
         return wst.msm_bitserial(curve, pts, scalars), jnp.asarray(False)
     mag, signs, ranks, overflow, wmaxes = \
         msm_mod._signed_digits_and_ranks(curve, scalars, c)
-    perm = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape)
     if msm_mod._use_fp8_engine():
         from ..ops import msm8
+        perm = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape)
         out = msm8.bucket_phase8(curve, pts, mag, (perm, ranks), c, s,
                                  signs=signs, signed=True, overflow=overflow)
-    else:
-        out = msm_mod._bucket_phase(curve, pts, mag, (perm, ranks), c, s,
-                                    signs=signs, signed=True,
-                                    overflow=overflow)
-    return out, jnp.max(wmaxes) > s
+        return out, jnp.max(wmaxes) > s
+    return _static_sweep(curve, pts, mag, signs, ranks, overflow, wmaxes,
+                         c, s)
 
 
 # a folding round's MSM shards over an active mesh only when each shard
@@ -162,11 +204,8 @@ def _msm_static_pair(curve: CurveSpec, pts2: Affine, scalars2, c: int,
         pts = Affine(px, py, pinf)
         mag, signs, ranks, overflow, wmaxes = \
             msm_mod._signed_digits_and_ranks(curve, scalars, c)
-        perm = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape)
-        out = msm_mod._bucket_phase(curve, pts, mag, (perm, ranks), c, s,
-                                    signs=signs, signed=True,
-                                    overflow=overflow)
-        return out, jnp.max(wmaxes) > s
+        return _static_sweep(curve, pts, mag, signs, ranks, overflow,
+                             wmaxes, c, s)
 
     return jax.vmap(one)(pts2.x, pts2.y, pts2.inf, scalars2)
 
@@ -364,12 +403,9 @@ def _round_body(curve: CurveSpec, cwin: int, s: int, sp: DeviceSponge,
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _half_sweep(curve: CurveSpec, cwin: int, s: int, pts: Affine,
                 mag, signs, ranks, of, wm):
-    """One cross-term bucket phase; flags overflow of the static bound."""
-    L = pts.x.shape[0]
-    perm = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape)
-    out = msm_mod._bucket_phase(curve, pts, mag, (perm, ranks), cwin, s,
-                                signs=signs, signed=True, overflow=of)
-    return out, jnp.max(wm) > s
+    """One cross-term bucket phase (static top-window split); flags
+    overflow of either static bound."""
+    return _static_sweep(curve, pts, mag, signs, ranks, of, wm, cwin, s)
 
 
 def _round_msms(curve: CurveSpec, cwin: int, s: int, mesh, a, g: Affine):
@@ -592,7 +628,16 @@ def open_fused(curve: CurveSpec, ck, coeffs, comm: Affine, point,
     overflow = bool(np.asarray(jnp.any(jnp.stack(flags)))) if flags else False
     if overflow:
         # statically-bounded Pippenger slots overflowed (≈ never for
-        # pseudo-random folds) — recompute exactly on the host path
+        # pseudo-random folds) — recompute exactly on the host path.
+        # LOUD on purpose: a spurious flag here silently downgrades the
+        # flagship prover to the host path (its ~log n per-round graphs
+        # dominated the r05 safe-pass bench before this was visible)
+        import sys
+        per_round = [int(x) for x in np.asarray(
+            jnp.stack([jnp.any(f) for f in flags])).astype(int)]
+        print(f"[open_fused] n={n}: static slot bound OVERFLOW "
+              f"(per-round flags {per_round}) — falling back to the host "
+              "prover", file=sys.stderr, flush=True)
         return ipa_pc.open_host(
             curve, ck, coeffs[:n0], comm, point, rand=rand, hiding=False,
             sponge=(sponge.clone() if sponge is not None else None))

@@ -15,7 +15,10 @@ from accumulation_tpu.ops import poly as poly_ops
 from accumulation_tpu.pc import ipa_pc
 
 
-@pytest.mark.parametrize("deg", [7, 15])
+# deg 255: the first fold round's halves (128) cross SMALL_N_THRESHOLD,
+# so the fused rounds run the STATIC bucket sweep with the top-window
+# replica split (_static_sweep) — the 7/15 cases only cover bit-serial
+@pytest.mark.parametrize("deg", [7, 15, 255])
 def test_fused_matches_host(rng, deg):
     curve = PALLAS
     pp = ipa_pc.setup(curve, deg)

@@ -40,8 +40,8 @@ def test_generator_on_curve():
     # 2G + G == 3G sanity through both add paths
     gp = wst.from_affine(CURVE, g)
     g2 = wst.jac_double(CURVE, gp)
-    g3a = wst.jac_add(CURVE, g2, gp)
-    g3b = wst.jac_add_affine(CURVE, g2, g)
+    g3a = wst.proj_add(CURVE, g2, gp)
+    g3b = wst.proj_add_affine(CURVE, g2, g)
     assert bool(np.asarray(wst.proj_eq(CURVE, g3a, g3b)))
 
 

@@ -52,8 +52,8 @@ def test_add_double_mixed_consistency():
     g = wst.generator(C)
     gj = wst.from_affine(C, g)
     g2 = wst.jac_double(C, gj)
-    g3 = wst.jac_add(C, g2, gj)
-    g3m = wst.jac_add_affine(C, g2, g)
+    g3 = wst.proj_add(C, g2, gj)
+    g3m = wst.proj_add_affine(C, g2, g)
     assert _eq1(wst.to_affine(C, g3), wst.to_affine(C, g3m))
     assert wst.affine_to_ints(C, wst.to_affine(C, g3))[0] == py_mul(G, 3)
 
@@ -61,17 +61,17 @@ def test_add_double_mixed_consistency():
 def test_identity_and_inverse_cases():
     g = wst.generator(C)
     gj = wst.from_affine(C, g)
-    inf = wst.jacobian_zero(C, ())
-    assert bool(np.asarray(fp.is_zero(wst.jac_add(C, gj, wst.jac_neg(C, gj)).z)))
-    assert _eq1(wst.to_affine(C, wst.jac_add(C, gj, inf)), g)
-    assert _eq1(wst.to_affine(C, wst.jac_add(C, inf, gj)), g)
+    inf = wst.projective_zero(C, ())
+    assert bool(np.asarray(fp.is_zero(wst.proj_add(C, gj, wst.jac_neg(C, gj)).z)))
+    assert _eq1(wst.to_affine(C, wst.proj_add(C, gj, inf)), g)
+    assert _eq1(wst.to_affine(C, wst.proj_add(C, inf, gj)), g)
     assert bool(np.asarray(fp.is_zero(wst.jac_double(C, inf).z)))
     # mixed-add specials
-    assert _eq1(wst.to_affine(C, wst.jac_add_affine(C, inf, g)), g)
-    assert _eq1(wst.to_affine(C, wst.jac_add_affine(C, gj, wst.affine_zero(C, ()))), g)
+    assert _eq1(wst.to_affine(C, wst.proj_add_affine(C, inf, g)), g)
+    assert _eq1(wst.to_affine(C, wst.proj_add_affine(C, gj, wst.affine_zero(C, ()))), g)
     assert bool(np.asarray(fp.is_zero(
-        wst.jac_add_affine(C, gj, wst.affine_neg(C, g)).z)))
-    assert _eq1(wst.to_affine(C, wst.jac_add_affine(C, gj, g)),
+        wst.proj_add_affine(C, gj, wst.affine_neg(C, g)).z)))
+    assert _eq1(wst.to_affine(C, wst.proj_add_affine(C, gj, g)),
                 wst.to_affine(C, wst.jac_double(C, gj)))
 
 
